@@ -1,0 +1,95 @@
+"""Volume rendering integrator (alpha compositing).
+
+Parity target: `fancy_integration`, reference
+generators/volumetric_rendering.py:18-70 — including the 1e10 background
+delta, the density noise, relu/softplus clamping, the 1e-10 transmittance
+floor, and the last_back / white_back / fill_mode options.
+
+TPU-first notes: the transmittance cumulative product runs along the (small,
+static) sample axis; XLA lowers jnp.cumprod over <=128 elements to an
+efficient in-register scan, so no custom kernel is needed here. All optional
+behaviors are resolved at trace time (static Python bools) so each curriculum
+stage compiles a single fused integrator.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def volume_integrate(
+    rgb_sigma: jax.Array,
+    z_vals: jax.Array,
+    *,
+    noise_std: float = 0.0,
+    key: jax.Array | None = None,
+    noise: jax.Array | None = None,
+    last_back: bool = False,
+    white_back: bool = False,
+    clamp_mode: str = "relu",
+    fill_mode: str | None = None,
+):
+    """Composite per-sample (rgb, sigma) into pixel colors and expected depth.
+
+    Args:
+      rgb_sigma: (B, R, S, 4) — rgb in [..3], sigma in [3:]
+      z_vals:    (B, R, S, 1) sorted sample depths
+      noise_std: stddev of gaussian density noise (0 disables; pass `key`
+                 when nonzero, or inject `noise` with sigma's shape for tests)
+      last_back: dump residual transmittance into the last sample's weight
+      white_back: composite over a white background
+      clamp_mode: 'relu' | 'softplus' applied to (sigma + noise)
+      fill_mode: None | 'debug' (paint low-weight pixels red) | 'weight'
+    Returns:
+      rgb (B, R, 3), depth (B, R, 1), weights (B, R, S, 1)
+    """
+    rgbs = rgb_sigma[..., :3]
+    sigmas = rgb_sigma[..., 3:]
+
+    deltas = z_vals[:, :, 1:] - z_vals[:, :, :-1]
+    delta_inf = jnp.full_like(deltas[:, :, :1], 1e10)
+    deltas = jnp.concatenate([deltas, delta_inf], axis=-2)
+
+    if noise_std:
+        if noise is None:
+            if key is None:
+                raise ValueError("volume_integrate with noise_std needs a key")
+            noise = jax.random.normal(key, sigmas.shape, dtype=sigmas.dtype)
+        sigmas = sigmas + noise * noise_std
+    elif noise is not None:
+        sigmas = sigmas + noise
+
+    if clamp_mode == "softplus":
+        density = jax.nn.softplus(sigmas)
+    elif clamp_mode == "relu":
+        density = jax.nn.relu(sigmas)
+    else:
+        raise ValueError(f"Unknown clamp_mode {clamp_mode!r}")
+
+    alphas = 1.0 - jnp.exp(-deltas * density)
+
+    # Transmittance: exclusive cumprod of (1 - alpha + 1e-10) along samples.
+    ones = jnp.ones_like(alphas[:, :, :1])
+    shifted = jnp.concatenate([ones, 1.0 - alphas + 1e-10], axis=-2)
+    transmittance = jnp.cumprod(shifted, axis=-2)[:, :, :-1]
+    weights = alphas * transmittance
+    weights_sum = weights.sum(axis=2)
+
+    if last_back:
+        weights = weights.at[:, :, -1].add(1.0 - weights_sum)
+
+    rgb_final = jnp.sum(weights * rgbs, axis=-2)
+    depth_final = jnp.sum(weights * z_vals, axis=-2)
+
+    if white_back:
+        rgb_final = rgb_final + 1.0 - weights_sum
+
+    if fill_mode == "debug":
+        low = weights_sum[..., -1] < 0.9
+        red = jnp.array([1.0, 0.0, 0.0], dtype=rgb_final.dtype)
+        rgb_final = jnp.where(low[..., None], red, rgb_final)
+    elif fill_mode == "weight":
+        rgb_final = jnp.broadcast_to(weights_sum, rgb_final.shape)
+
+    return rgb_final, depth_final, weights

@@ -1,0 +1,45 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware via
+``--xla_force_host_platform_device_count=8`` (the driver separately dry-runs
+the multichip path; benches run on the real chip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_ROOT = Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return REFERENCE_ROOT.exists()
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(),
+    reason="PyTorch reference repo not mounted at /root/reference",
+)
+
+
+@pytest.fixture(scope="session")
+def reference_path():
+    """Put the reference repo on sys.path so its modules import as oracles."""
+    if not reference_available():
+        pytest.skip("reference repo unavailable")
+    if str(REFERENCE_ROOT) not in sys.path:
+        sys.path.insert(0, str(REFERENCE_ROOT))
+    return REFERENCE_ROOT

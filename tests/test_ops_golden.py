@@ -1,0 +1,227 @@
+"""Golden tests: ops layer vs the PyTorch reference implementation.
+
+Random-dependent paths are made deterministic by patching torch's RNG entry
+points with fixed tensors and feeding the same values to the JAX ops.
+"""
+
+from unittest import mock
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import requires_reference
+
+from conditioned_nerf_gan_tpu import ops
+
+torch = pytest.importorskip("torch")
+
+RTOL = 1e-5
+ATOL = 1e-5
+
+
+@pytest.fixture(scope="module")
+def vr(reference_path):
+    from generators import volumetric_rendering
+
+    return volumetric_rendering
+
+
+def allclose(j, t, rtol=RTOL, atol=ATOL):
+    np.testing.assert_allclose(
+        np.asarray(j), t.detach().cpu().numpy(), rtol=rtol, atol=atol
+    )
+
+
+@requires_reference
+def test_get_initial_rays_matches(vr):
+    B, S, W, H = 2, 12, 8, 8
+    fov, rs, re = 49.134342641202636, 0.25, 1.95
+    pts_t, z_t, dirs_t = vr.get_initial_rays_trig(
+        B, S, device="cpu", fov=fov, resolution=(W, H), ray_start=rs, ray_end=re
+    )
+    pts_j, z_j, dirs_j = ops.get_initial_rays(B, S, fov, (W, H), rs, re)
+    allclose(pts_j, pts_t)
+    allclose(z_j, z_t)
+    allclose(dirs_j, dirs_t)
+
+
+@requires_reference
+def test_perturb_and_transform_matches(vr):
+    rng = np.random.default_rng(0)
+    B, S, W, H = 2, 8, 4, 4
+    pts_t, z_t, dirs_t = vr.get_initial_rays_trig(
+        B, S, device="cpu", fov=30.0, resolution=(W, H), ray_start=0.7, ray_end=1.3
+    )
+    uniforms = rng.random(z_t.shape, dtype=np.float32)
+    origins = rng.normal(size=(B, 3)).astype(np.float32)
+    cam_t = vr.create_cam2world_matrix(torch.from_numpy(origins), "y", device="cpu")
+
+    with mock.patch.object(
+        vr.torch, "rand", lambda *a, **k: torch.from_numpy(uniforms)
+    ):
+        tp_t, tz_t, td_t, to_t = vr.transform_sampled_points(
+            pts_t, z_t, dirs_t, device="cpu", cam2worlds=cam_t
+        )
+
+    pts_j, z_j, dirs_j = ops.get_initial_rays(B, S, 30.0, (W, H), 0.7, 1.3)
+    pts_j, z_j = ops.perturb_points(pts_j, z_j, dirs_j, uniforms=jnp.asarray(uniforms))
+    cam_j = ops.create_cam2world_matrix(jnp.asarray(origins), "y")
+    allclose(cam_j, cam_t)
+    tp_j, tz_j, td_j, to_j = ops.transform_rays(pts_j, z_j, dirs_j, cam_j)
+    allclose(tp_j, tp_t, atol=1e-4)
+    allclose(tz_j, tz_t)
+    allclose(td_j, td_t)
+    allclose(to_j, to_t)
+
+
+@requires_reference
+def test_sample_camera_positions_matches(vr):
+    rng = np.random.default_rng(1)
+    n = 64
+    u = rng.random((n, 3))
+    for up in ("y", "z"):
+        with mock.patch.object(
+            vr.np.random, "rand", side_effect=[u[:, 0], u[:, 1], u[:, 2]]
+        ):
+            cams_t = vr.sample_camera_positions(
+                "cpu", up, cam_r_start=0.7, cam_r_end=1.5, n=n
+            )
+        cams_j = ops.sample_camera_positions(
+            None, n, up_direction=up, cam_r_start=0.7, cam_r_end=1.5,
+            uniforms=jnp.asarray(u, dtype=jnp.float32),
+        )
+        allclose(cams_j, cams_t, atol=1e-5)
+
+
+@requires_reference
+@pytest.mark.parametrize("clamp_mode", ["relu", "softplus"])
+@pytest.mark.parametrize("white_back,last_back", [(False, False), (True, False), (False, True)])
+def test_volume_integrate_matches(vr, clamp_mode, white_back, last_back):
+    rng = np.random.default_rng(2)
+    B, R, S = 2, 16, 24
+    rgb_sigma = rng.normal(size=(B, R, S, 4)).astype(np.float32)
+    z = np.sort(rng.random((B, R, S, 1)).astype(np.float32), axis=2)
+    noise = rng.normal(size=(B, R, S, 1)).astype(np.float32)
+    noise_std = 0.5
+
+    with mock.patch.object(
+        vr.torch, "randn", lambda *a, **k: torch.from_numpy(noise)
+    ):
+        rgb_t, depth_t, w_t = vr.fancy_integration(
+            torch.from_numpy(rgb_sigma), torch.from_numpy(z), device="cpu",
+            noise_std=noise_std, last_back=last_back, white_back=white_back,
+            clamp_mode=clamp_mode,
+        )
+    rgb_j, depth_j, w_j = ops.volume_integrate(
+        jnp.asarray(rgb_sigma), jnp.asarray(z), noise_std=noise_std,
+        noise=jnp.asarray(noise), last_back=last_back, white_back=white_back,
+        clamp_mode=clamp_mode,
+    )
+    allclose(rgb_j, rgb_t, atol=1e-4)
+    allclose(depth_j, depth_t, atol=1e-4)
+    allclose(w_j, w_t, atol=1e-4)
+
+
+@requires_reference
+@pytest.mark.parametrize("det", [True, False])
+def test_sample_pdf_matches(vr, det):
+    rng = np.random.default_rng(3)
+    R, S = 32, 46
+    n_imp = 48
+    bins = np.sort(rng.random((R, S + 1)).astype(np.float32), axis=1)
+    weights = rng.random((R, S)).astype(np.float32)
+    u = rng.random((R, n_imp)).astype(np.float32)
+
+    with mock.patch.object(vr.torch, "rand", lambda *a, **k: torch.from_numpy(u)):
+        samples_t = vr.sample_pdf(
+            torch.from_numpy(bins), torch.from_numpy(weights), n_imp, det=det
+        )
+    samples_j = ops.sample_pdf(
+        jnp.asarray(bins), jnp.asarray(weights), n_imp, det=det,
+        uniforms=None if det else jnp.asarray(u),
+    )
+    allclose(samples_j, samples_t, atol=1e-5)
+
+
+@requires_reference
+def test_merge_sorted_samples_matches(vr):
+    rng = np.random.default_rng(4)
+    B, R, S = 2, 8, 12
+    fine = rng.normal(size=(B, R, S, 4)).astype(np.float32)
+    coarse = rng.normal(size=(B, R, S, 4)).astype(np.float32)
+    fz = rng.random((B, R, S, 1)).astype(np.float32)
+    cz = rng.random((B, R, S, 1)).astype(np.float32)
+
+    all_out_t = torch.cat([torch.from_numpy(fine), torch.from_numpy(coarse)], dim=-2)
+    all_z_t = torch.cat([torch.from_numpy(fz), torch.from_numpy(cz)], dim=-2)
+    _, idx = torch.sort(all_z_t, dim=-2)
+    all_z_t = torch.gather(all_z_t, -2, idx)
+    all_out_t = torch.gather(all_out_t, -2, idx.expand(-1, -1, -1, 4))
+
+    out_j, z_j = ops.merge_sorted_samples(
+        jnp.asarray(fine), jnp.asarray(fz), jnp.asarray(coarse), jnp.asarray(cz)
+    )
+    allclose(z_j, all_z_t)
+    allclose(out_j, all_out_t)
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "align_corners,padding_mode",
+    [(False, "border"), (True, "zeros"), (False, "zeros"), (True, "border")],
+)
+def test_grid_sample_3d_matches_pytorch(align_corners, padding_mode):
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(5)
+    B, C, D, H, W = 2, 6, 5, 7, 9
+    vol = rng.normal(size=(B, C, D, H, W)).astype(np.float32)
+    # include well out-of-range coords to exercise padding
+    grid = (rng.random((B, 3, 4, 11, 3)).astype(np.float32) * 3.0) - 1.5
+
+    out_t = F.grid_sample(
+        torch.from_numpy(vol), torch.from_numpy(grid), mode="bilinear",
+        align_corners=align_corners, padding_mode=padding_mode,
+    )
+    out_j = ops.grid_sample_3d(
+        jnp.asarray(vol), jnp.asarray(grid),
+        align_corners=align_corners, padding_mode=padding_mode,
+    )
+    allclose(out_j, out_t, atol=1e-5)
+
+
+@requires_reference
+def test_distance2depth_matches(vr):
+    rng = np.random.default_rng(6)
+    dist = rng.random((2, 16, 1)).astype(np.float32)
+    rays = rng.normal(size=(2, 16, 3)).astype(np.float32)
+    out_t = vr.distance2depth(torch.from_numpy(dist), torch.from_numpy(rays))
+    out_j = ops.distance2depth(jnp.asarray(dist), jnp.asarray(rays))
+    allclose(out_j, out_t)
+
+
+def test_volume_integrate_analytic():
+    """Opaque first sample → pixel color equals that sample's rgb, depth its z."""
+    B, R, S = 1, 4, 8
+    rgb = jnp.zeros((B, R, S, 3)).at[:, :, 0, :].set(jnp.array([0.2, 0.4, 0.6]))
+    sigma = jnp.full((B, R, S, 1), -100.0).at[:, :, 0, :].set(1e9)
+    z = jnp.broadcast_to(jnp.linspace(0.5, 1.5, S)[None, None, :, None], (B, R, S, 1))
+    out_rgb, out_depth, w = ops.volume_integrate(
+        jnp.concatenate([rgb, sigma], -1), z, clamp_mode="relu"
+    )
+    np.testing.assert_allclose(out_rgb, np.tile([0.2, 0.4, 0.6], (B, R, 1)), atol=1e-6)
+    np.testing.assert_allclose(out_depth, np.full((B, R, 1), 0.5), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w).sum(2), np.ones((B, R, 1)), atol=1e-6)
+
+
+def test_sample_pdf_det_concentrates_mass():
+    """All weight in one bin → deterministic samples land inside that bin."""
+    R, S = 4, 10
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, S + 1)[None], (R, S + 1))
+    weights = jnp.zeros((R, S)).at[:, 3].set(1.0)
+    samples = ops.sample_pdf(bins, weights, 16, det=True)
+    s = np.asarray(samples)[:, 1:-1]  # endpoints may touch the bin edges
+    assert (s >= 0.3 - 1e-4).all() and (s <= 0.4 + 1e-4).all()
