@@ -1,0 +1,188 @@
+"""Generator composition: conditioning latent + camera -> rendered image.
+
+Parity target: reference generators/generators.py:9-187 (`ImplicitGenerator3d`)
+— ray generation under no_grad (here: stop_gradient), coarse SIREN eval,
+optional hierarchical fine resampling (weights/fine-point selection detached),
+sort-merge, final integration, pixels scaled to [-1, 1], z-depth map.
+
+TPU-first differences:
+  * Pure function of (params, z, cam2world, rng, RenderConfig); every option
+    that affects shapes or control flow lives in the hashable RenderConfig so
+    each curriculum stage is one compiled XLA program.
+  * Images are NHWC (TPU conv layout) instead of NCHW.
+  * `nerf_noise` is a *traced* scalar — its per-step decay (utils.py:618)
+    doesn't trigger recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import (
+    distance2depth,
+    get_initial_rays,
+    merge_sorted_samples,
+    perturb_points,
+    sample_pdf,
+    transform_rays,
+    volume_integrate,
+)
+from .siren import make_siren
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering options (hashable; one jit cache entry per config)."""
+
+    img_size: int = 64
+    num_steps: int = 48
+    fov: float = 30.0
+    ray_start: float = 0.7
+    ray_end: float = 1.3
+    hierarchical_sample: bool = True
+    clamp_mode: str = "relu"
+    white_back: bool = False
+    last_back: bool = False
+    fill_mode: str | None = None
+    perturb: bool = True
+
+    @classmethod
+    def from_metadata(cls, metadata: dict, **overrides) -> "RenderConfig":
+        """Build from a curriculum metadata dict (ignores unrelated keys)."""
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in metadata.items() if k in fields}
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+
+class ImplicitGenerator3d(nn.Module):
+    """NeRF generator wrapping a SIREN decoder (reference generators.py:9-25).
+
+    Construct via siren kwargs matching the curriculum's `generator` block:
+    siren_type, z_dim, input_dim, output_dim, hidden_dim, drop_out.
+    """
+
+    siren_type: str = "SHORTSIREN"
+    z_dim: int = 512
+    input_dim: int = 3
+    output_dim: int = 4
+    hidden_dim: int = 256
+    drop_out: float = 0.0
+    mapping_network: str = "CustomMappingNetwork"
+
+    def setup(self):
+        self.siren = make_siren(
+            self.siren_type,
+            z_dim=self.z_dim,
+            input_dim=self.input_dim,
+            output_dim=self.output_dim,
+            hidden_dim=self.hidden_dim,
+            drop_out=self.drop_out,
+            mapping_network=self.mapping_network,
+        )
+
+    def __call__(
+        self,
+        z: Any,
+        cam2world: jax.Array,
+        config: RenderConfig,
+        *,
+        rng: jax.Array | None = None,
+        nerf_noise: jax.Array | float = 0.0,
+        deterministic: bool = True,
+    ):
+        """Render a batch of images.
+
+        Args:
+          z: conditioning — latent (B, z_dim), feature volume (B,D,H,W,C) or a
+             (volume/pyramid, global) tuple depending on siren_type
+          cam2world: (B, 4, 4)
+          config: static RenderConfig
+          rng: PRNG key for stratified perturbation / fine sampling / density
+               noise (None → deterministic rendering, matching eval overrides)
+          nerf_noise: density-noise stddev (traced scalar ok)
+        Returns:
+          pixels (B, H, W, 3) in [-1, 1]; depth (B, H, W) z-depth map.
+        """
+        B = cam2world.shape[0]
+        S = config.num_steps
+        W = H = config.img_size
+        use_noise = rng is not None
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        k_perturb, k_fine, k_noise1, k_noise2 = jax.random.split(rng, 4)
+
+        # --- ray generation (no grad through geometry, generators.py:57) ---
+        points, z_vals, rays_d_cam = get_initial_rays(
+            B, S, config.fov, (W, H), config.ray_start, config.ray_end
+        )
+        if config.perturb and use_noise:
+            points, z_vals = perturb_points(points, z_vals, rays_d_cam, key=k_perturb)
+        points, z_vals, rays_d_world, origins = transform_rays(
+            points, z_vals, rays_d_cam, cam2world
+        )
+        points = jax.lax.stop_gradient(points)
+        z_vals = jax.lax.stop_gradient(z_vals)
+        rays_d_world = jax.lax.stop_gradient(rays_d_world)
+        origins = jax.lax.stop_gradient(origins)
+
+        flat_points = points.reshape(B, W * H * S, 3)
+        coarse_output = self.siren(
+            flat_points, z, deterministic=deterministic
+        ).reshape(B, W * H, S, 4)
+
+        if config.hierarchical_sample:
+            # --- importance resampling, fully detached (generators.py:111-152)
+            def fine_points_fn(coarse_output, z_vals):
+                _, _, weights = volume_integrate(
+                    coarse_output, z_vals,
+                    noise_std=nerf_noise if use_noise else 0.0,
+                    key=k_noise1 if use_noise else None,
+                    clamp_mode=config.clamp_mode,
+                )
+                weights = weights.reshape(B * W * H, S) + 1e-5
+                z_flat = z_vals.reshape(B * W * H, S)
+                z_mid = 0.5 * (z_flat[:, :-1] + z_flat[:, 1:])
+                fine_z = sample_pdf(
+                    z_mid, weights[:, 1:-1], S,
+                    det=not use_noise, key=k_fine,
+                ).reshape(B, W * H, S, 1)
+                fine_pts = (
+                    origins[:, :, None, :]
+                    + rays_d_world[:, :, None, :] * fine_z
+                )
+                return fine_pts.reshape(B, W * H * S, 3), fine_z
+
+            fine_points, fine_z = jax.lax.stop_gradient(
+                fine_points_fn(coarse_output, z_vals)
+            )
+
+            fine_output = self.siren(
+                fine_points, z, deterministic=deterministic
+            ).reshape(B, W * H, S, 4)
+
+            all_outputs, all_z = merge_sorted_samples(
+                fine_output, fine_z, coarse_output, z_vals
+            )
+        else:
+            all_outputs, all_z = coarse_output, z_vals
+
+        pixels, distances, _ = volume_integrate(
+            all_outputs, all_z,
+            noise_std=nerf_noise if use_noise else 0.0,
+            key=k_noise2 if use_noise else None,
+            white_back=config.white_back,
+            last_back=config.last_back,
+            clamp_mode=config.clamp_mode,
+            fill_mode=config.fill_mode,
+        )
+
+        pixels = pixels.reshape(B, H, W, 3) * 2.0 - 1.0
+        depth = distance2depth(distances, rays_d_cam).reshape(B, H, W)
+        return pixels, depth

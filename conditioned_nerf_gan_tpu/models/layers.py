@@ -1,0 +1,201 @@
+"""SIREN/FiLM building blocks and mapping networks (Flax).
+
+Parity targets: reference generators/siren.py:9-230 (Sine/FiLM/Siren layers,
+ResSirenBlock, mapping networks) with the exact init schemes of
+siren.py:19-53,134-143 — SIREN training is init-sensitive, so the weight
+*and* bias distributions replicate PyTorch:
+  * torch nn.Linear default: W, b ~ U(±1/sqrt(fan_in))
+  * frequency_init(freq):    W ~ U(±sqrt(6/fan_in)/freq), b torch-default
+  * first_layer_film_sine:   W ~ U(±1/fan_in), b torch-default
+  * kaiming_leaky(a=0.2):    W ~ N(0, gain²/fan_in), gain=sqrt(2/(1+a²))
+  * mapping-net last layer:  kaiming_leaky then ×0.25
+
+All blocks are batched matmuls over a flattened point axis — exactly what the
+MXU wants; dropout and the sin() epilogue fuse into the matmul under XLA.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+# ---------------------------------------------------------------------------
+# Initializers (matching torch semantics; fan_in = kernel shape[0] in flax)
+# ---------------------------------------------------------------------------
+
+def torch_default_uniform(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default: U(±1/sqrt(fan_in)). Kernel shape (in, out)."""
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def frequency_init(freq: float) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0]
+        bound = math.sqrt(6.0 / fan_in) / freq
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def first_layer_film_sine_init(key, shape, dtype=jnp.float32):
+    fan_in = shape[0]
+    bound = 1.0 / fan_in
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def kaiming_leaky_init(scale: float = 1.0, a: float = 0.2) -> Callable:
+    gain = math.sqrt(2.0 / (1.0 + a * a))
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0]
+        std = gain / math.sqrt(fan_in)
+        return jax.random.normal(key, shape, dtype) * (std * scale)
+
+    return init
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch-style fan_in-dependent bias init.
+
+    flax's bias_init doesn't see fan_in, so the bias is created here with the
+    torch default U(±1/sqrt(fan_in)) unless `bias_init_zero`.
+    """
+
+    features: int
+    kernel_init: Callable = torch_default_uniform
+    use_bias: bool = True
+    bias_init_zero: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (fan_in, self.features))
+        y = jnp.dot(x.astype(self.dtype or x.dtype), kernel.astype(self.dtype or kernel.dtype))
+        if self.use_bias:
+            if self.bias_init_zero:
+                bias_init = nn.initializers.zeros
+            else:
+                bound = 1.0 / math.sqrt(fan_in)
+
+                def bias_init(key, shape, dtype=jnp.float32):
+                    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+            bias = self.param("bias", bias_init, (self.features,))
+            y = y + bias
+        return y
+
+
+# ---------------------------------------------------------------------------
+# SIREN layers
+# ---------------------------------------------------------------------------
+
+class FiLMLayer(nn.Module):
+    """sin(freq * (Wx + b) + phase). Reference siren.py:146-177.
+
+    The same module serves both the per-batch case (freq (B, F), broadcast
+    over points — reference FiLMLayer) and the per-point case (freq (B, N, F)
+    — reference PointwiseFiLMLayer); broadcasting handles both.
+    """
+
+    hidden_dim: int
+    kernel_init: Callable = frequency_init(25)
+    drop_out_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, freq, phase_shift, deterministic: bool = True):
+        x = TorchLinear(self.hidden_dim, kernel_init=self.kernel_init)(x)
+        if freq.ndim == x.ndim - 1:
+            freq = freq[:, None, :]
+            phase_shift = phase_shift[:, None, :]
+        y = jnp.sin(freq * x + phase_shift)
+        if self.drop_out_prob > 0:
+            y = nn.Dropout(self.drop_out_prob)(y, deterministic=deterministic)
+        return y
+
+
+class SirenLayer(nn.Module):
+    """Plain sin(Wx + b) (reference siren.py:180-199)."""
+
+    hidden_dim: int
+    kernel_init: Callable = frequency_init(25)
+    drop_out_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = jnp.sin(TorchLinear(self.hidden_dim, kernel_init=self.kernel_init)(x))
+        if self.drop_out_prob > 0:
+            y = nn.Dropout(self.drop_out_prob)(y, deterministic=deterministic)
+        return y
+
+
+class ResSirenBlock(nn.Module):
+    """sin(x + fc2(sin(fc1 x))) (reference siren.py:218-230)."""
+
+    hidden_dim: int
+    kernel_init: Callable = frequency_init(25)
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        net = jnp.sin(TorchLinear(self.hidden_dim, kernel_init=self.kernel_init)(x))
+        net = TorchLinear(self.hidden_dim, kernel_init=self.kernel_init)(net)
+        return jnp.sin(x + net)
+
+
+# ---------------------------------------------------------------------------
+# Mapping networks: z -> (frequencies, phase_shifts)
+# ---------------------------------------------------------------------------
+
+class _MLPMapping(nn.Module):
+    """Shared body: LeakyReLU(0.2) MLP, kaiming-leaky init, last layer ×0.25."""
+
+    hidden_dim: int
+    output_dim: int
+    num_hidden: int = 3
+
+    @nn.compact
+    def __call__(self, z):
+        x = z
+        for _ in range(self.num_hidden):
+            x = TorchLinear(self.hidden_dim, kernel_init=kaiming_leaky_init())(x)
+            x = nn.leaky_relu(x, negative_slope=0.2)
+        x = TorchLinear(self.output_dim, kernel_init=kaiming_leaky_init(scale=0.25))(x)
+        freq, phase = jnp.split(x, 2, axis=-1)
+        return freq, phase
+
+
+class CustomMappingNetwork(_MLPMapping):
+    """3 hidden layers (reference siren.py:55-78)."""
+
+    num_hidden: int = 3
+
+
+class LongMappingNetwork(_MLPMapping):
+    """5 hidden layers (reference siren.py:104-131)."""
+
+    num_hidden: int = 5
+
+
+class PointFeaturesMappingNetwork(_MLPMapping):
+    """1 hidden layer, applied per-point (reference siren.py:81-101)."""
+
+    num_hidden: int = 1
+
+
+class LinearMapping(nn.Module):
+    """Single nn.Linear mapping used by the FG variants (siren.py:535 etc.)."""
+
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, z):
+        x = TorchLinear(self.output_dim)(z)
+        freq, phase = jnp.split(x, 2, axis=-1)
+        return freq, phase

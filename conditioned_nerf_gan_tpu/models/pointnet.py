@@ -1,0 +1,91 @@
+"""ResNet-PointNet encoder: colored point cloud -> global latent code.
+
+Parity target: reference generators/pointnet.py:10-141 (`ResnetBlockFC`,
+`ResnetPointnet`) and :164-180 (`encode_pcl` latent normalization + noise
+blend). Structure follows Occupancy Networks' PointNet; inits replicate torch
+defaults (fc_1 weight zero-initialized, shortcut bias-free).
+
+TPU notes: the whole encoder is (B, T, F) batched matmuls + a max-reduce over
+the point axis — MXU + VPU friendly with no gather/scatter.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import TorchLinear
+
+
+class ResnetBlockFC(nn.Module):
+    """x + fc_1(relu(fc_0(relu(x)))), with a bias-free shortcut on dim change."""
+
+    size_out: int
+    size_h: int | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        size_in = x.shape[-1]
+        size_h = self.size_h or min(size_in, self.size_out)
+
+        net = TorchLinear(size_h, name="fc_0")(nn.relu(x))
+        dx = TorchLinear(
+            self.size_out, kernel_init=nn.initializers.zeros, name="fc_1"
+        )(nn.relu(net))
+        if size_in == self.size_out:
+            x_s = x
+        else:
+            x_s = TorchLinear(self.size_out, use_bias=False, name="shortcut")(x)
+        return x_s + dx
+
+
+class ResnetPointnet(nn.Module):
+    """(B, T, dim) points -> (B, c_dim) latent via 5 ResNet blocks + max-pool."""
+
+    c_dim: int = 512
+    hidden_dim: int = 512
+
+    @nn.compact
+    def __call__(self, p):
+        h = self.hidden_dim
+        net = TorchLinear(2 * h, name="fc_pos")(p)
+        net = ResnetBlockFC(h, name="block_0")(net)
+        for i in range(1, 5):
+            pooled = jnp.max(net, axis=1, keepdims=True)
+            pooled = jnp.broadcast_to(pooled, net.shape)
+            net = jnp.concatenate([net, pooled], axis=2)
+            net = ResnetBlockFC(h, name=f"block_{i}")(net)
+        net = jnp.max(net, axis=1)
+        return TorchLinear(self.c_dim, name="fc_c")(nn.relu(net))
+
+
+def encode_pcl(
+    apply_fn,
+    params,
+    pcl: jax.Array,
+    *,
+    noise_weight: float = 0.0,
+    key: jax.Array | None = None,
+    noise: jax.Array | None = None,
+):
+    """Encode a point cloud and normalize/noise the latent.
+
+    Matches reference pointnet.py:164-180: l_reg = mean latent L2 norm;
+    latent is feature-whitened (mean/std over the channel axis, torch's
+    unbiased std) then blended with gaussian noise by `noise_weight`.
+    Returns (z, l_reg).
+    """
+    encodes = apply_fn(params, pcl)
+    l_reg = jnp.mean(jnp.linalg.norm(encodes, axis=1))
+    encodes = encodes - jnp.mean(encodes, axis=1, keepdims=True)
+    encodes = encodes / jnp.std(encodes, axis=1, keepdims=True, ddof=1)
+    if noise_weight:
+        if noise is None:
+            if key is None:
+                raise ValueError("encode_pcl with noise_weight needs a key")
+            noise = jax.random.normal(key, encodes.shape, dtype=encodes.dtype)
+        z = noise_weight * noise + (1.0 - noise_weight) * encodes
+    else:
+        z = encodes
+    return z, l_reg

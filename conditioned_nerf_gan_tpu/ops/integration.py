@@ -51,14 +51,12 @@ def volume_integrate(
     delta_inf = jnp.full_like(deltas[:, :, :1], 1e10)
     deltas = jnp.concatenate([deltas, delta_inf], axis=-2)
 
-    if noise_std:
-        if noise is None:
-            if key is None:
-                raise ValueError("volume_integrate with noise_std needs a key")
-            noise = jax.random.normal(key, sigmas.shape, dtype=sigmas.dtype)
+    # noise_std may be a traced scalar (the per-step nerf-noise decay); noise
+    # is applied whenever a source (key or explicit noise) is provided.
+    if noise is None and key is not None:
+        noise = jax.random.normal(key, sigmas.shape, dtype=sigmas.dtype)
+    if noise is not None:
         sigmas = sigmas + noise * noise_std
-    elif noise is not None:
-        sigmas = sigmas + noise
 
     if clamp_mode == "softplus":
         density = jax.nn.softplus(sigmas)

@@ -22,6 +22,16 @@ import pytest
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
+import jax
+
+# Golden tests compare against fp32 PyTorch: pin full-precision matmuls
+# (the backend default uses bf16 passes even on CPU).
+jax.config.update("jax_default_matmul_precision", "highest")
+# XLA compiles are very slow in this environment; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", str(REPO_ROOT / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 REFERENCE_ROOT = Path("/root/reference")
 
 
