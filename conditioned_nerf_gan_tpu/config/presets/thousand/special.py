@@ -1,0 +1,76 @@
+"""The thesis run: SHORTSIREN + PointNet point-cloud conditioning.
+
+Value parity with reference configs/thousand/special.py:11-78; the dataset
+path is environment-overridable (CNG_DATASET_PATH) instead of hard-coded to
+the author's cluster home.
+"""
+
+import os
+
+from .default import upsample_step
+
+special = {
+    upsample_step[0]: {
+        "batch_size": 24,
+        "batch_split": 2,
+    },
+    upsample_step[1]: {
+        "batch_size": 12,
+        "batch_split": 6,
+    },
+    upsample_step[2]: {
+        "batch_size": 12,
+        "batch_split": 6,
+    },
+    upsample_step[3]: {
+        "batch_size": 12,
+        "batch_split": 6,
+        "num_steps": 48,
+    },
+    "num_workers": 8,
+    "photo_loss": True,
+    "depth_loss": False,
+    "lock_view_dependence": True,
+    "ray_start": 0.25,
+    "ray_end": 1.95,
+    "cam_r_start": 0.7,
+    "cam_r_end": 1.5,
+    "dropout_ratio": 0,
+    "fov": 49.134342641202636,
+    "white_back": True,
+    "depth_loss_weight": 1,
+    "noise_weight": 0,
+    "enable_discriminator": True,
+    "generator": {
+        "siren_type": "SHORTSIREN",
+        "z_dim": 512,
+        "input_dim": 3,
+        "output_dim": 4,
+        "hidden_dim": 256,
+    },
+    "discriminator": "ProgressiveDiscriminator",
+    "unet": {
+        "type": "UNet3D",
+        "in_channels": 4,
+        "out_channels": 32,
+        "f_maps": 32,
+        "num_levels": 4,
+        "is_segmentation": False,
+        "final_sigmoid": False,
+        "return_global": True,
+    },
+    "fid": {
+        "subset": "val",
+        "target_size": 128,
+    },
+    "dataset": {
+        "path": os.environ.get("CNG_DATASET_PATH", "data/ShapeNetCar"),
+        "trainset": "thousand",
+        "testset": "twenty",
+        "load_voxel": False,
+        "load_pcl": True,
+        "load_depth": False,
+        "cond_mode": False,
+    },
+    "random_gen_img": True,
+}

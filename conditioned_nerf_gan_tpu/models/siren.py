@@ -363,6 +363,9 @@ def make_siren(
     **_unused,
 ) -> nn.Module:
     """Build a SIREN variant by reference class name (generators.py:15)."""
+    from ..config.presets import resolve_siren_alias
+
+    siren_type = resolve_siren_alias(siren_type)
     if siren_type in SIREN_SPECS:
         return ConditionedSiren(
             spec=SIREN_SPECS[siren_type],

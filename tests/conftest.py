@@ -7,7 +7,6 @@ the multichip path; benches run on the real chip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,6 +22,12 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
 import jax
+
+# Force the local CPU backend. NOTE: the JAX_PLATFORMS env var is overridden
+# to "axon" by this machine's sitecustomize, so tests must switch platforms
+# via jax.config *after* import — otherwise every op runs through the remote
+# TPU tunnel with multi-second dispatch latency.
+jax.config.update("jax_platforms", "cpu")
 
 # Golden tests compare against fp32 PyTorch: pin full-precision matmuls
 # (the backend default uses bf16 passes even on CPU).

@@ -1,0 +1,97 @@
+"""Curriculum/config system tests (reference configs/curriculums.py semantics)."""
+
+import json
+
+import pytest
+
+from conditioned_nerf_gan_tpu.config import (
+    curriculum_from_json,
+    curriculum_to_json,
+    extract_metadata,
+    json_keys_to_int,
+    last_upsample_step,
+    load_curriculum,
+    next_upsample_step,
+    update_recursive,
+)
+from conditioned_nerf_gan_tpu.config.presets import resolve_siren_alias
+
+
+def test_load_thousand_special_overlay():
+    cur = load_curriculum(config_base="thousand")
+    meta0 = extract_metadata(cur, 0)
+    # special.py overrides default.py batch sizes (special.py:12-30)
+    assert meta0["batch_size"] == 24 and meta0["batch_split"] == 2
+    assert meta0["img_size"] == 32 and meta0["num_steps"] == 48
+    assert meta0["generator"]["siren_type"] == "SHORTSIREN"
+    assert meta0["photo_loss"] is True
+    assert meta0["ray_start"] == 0.25 and meta0["ray_end"] == 1.95
+
+    meta1 = extract_metadata(cur, 7000)
+    assert meta1["img_size"] == 64 and meta1["batch_size"] == 12
+    meta3 = extract_metadata(cur, 30000)
+    assert meta3["img_size"] == 128 and meta3["num_steps"] == 48  # special overrides 64
+
+
+def test_experiment_config_overlay():
+    cur = load_curriculum(config_base="thousand", config="dg_dis")
+    meta = extract_metadata(cur, 0)
+    assert meta["enable_discriminator"] is True
+    assert meta["generator"]["siren_type"] == "TALLSIREN_dg"
+    assert resolve_siren_alias(meta["generator"]["siren_type"]) == "TALLSIREN_FG"
+    assert meta["dataset"]["load_voxel"] is True
+
+
+def test_upsample_steps():
+    cur = load_curriculum(config_base="thousand")
+    assert next_upsample_step(cur, 0) == 5000
+    assert next_upsample_step(cur, 5000) == 15000
+    assert next_upsample_step(cur, 30000) == float("inf")
+    assert last_upsample_step(cur, 4999) == 0
+    assert last_upsample_step(cur, 20000) == 15000
+    # stage 3 keeps img_size 128 → last upsample stays at 15000
+    assert last_upsample_step(cur, 30000) == 15000
+
+
+def test_json_roundtrip(tmp_path):
+    cur = load_curriculum(config_base="thousand")
+    path = tmp_path / "curriculum.json"
+    curriculum_to_json(cur, path)
+    restored = curriculum_from_json(path)
+    assert sorted(k for k in restored if isinstance(k, int)) == [0, 5000, 15000, 25000]
+    assert extract_metadata(restored, 0)["img_size"] == 32
+
+
+def test_curriculum_precedence(tmp_path):
+    """output_dir/curriculum.json wins over the preset chain (utils.py:191-228)."""
+    cur = load_curriculum(config_base="thousand")
+    cur["marker"] = "saved"
+    out_dir = tmp_path / "run"
+    out_dir.mkdir()
+    curriculum_to_json(cur, out_dir / "curriculum.json")
+    loaded = load_curriculum(output_dir=out_dir, config_base="thousand")
+    assert loaded["marker"] == "saved"
+
+    explicit = tmp_path / "explicit.json"
+    cur["marker"] = "explicit"
+    curriculum_to_json(cur, explicit)
+    loaded = load_curriculum(
+        output_dir=out_dir, load_curriculum_path=explicit, config_base="thousand"
+    )
+    assert loaded["marker"] == "explicit"
+
+
+def test_update_recursive_deep_merge():
+    a = {"x": 1, "nested": {"a": 1, "b": 2}}
+    b = {"nested": {"b": 3, "c": 4}, "y": 5}
+    out = update_recursive(a, b)
+    assert out["nested"] == {"a": 1, "b": 3, "c": 4}
+    assert out["x"] == 1 and out["y"] == 5
+
+
+def test_carla_preset_loads():
+    from conditioned_nerf_gan_tpu.config.presets.carla import CARLA
+
+    meta = extract_metadata(CARLA, 60000)
+    assert meta["img_size"] == 128 and meta["batch_size"] == 10
+    assert meta["discriminator"] == "ProgressiveEncoderDiscriminator"
