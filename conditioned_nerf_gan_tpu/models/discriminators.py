@@ -182,16 +182,27 @@ class _ProgressiveBase(nn.Module):
             AdapterBlock(c, name=f"fromRGB_{i}")
             for i, c in enumerate(_ADAPTER_CHANNELS)
         ]
+        layers = [
+            ResidualCoordConvBlock(c, downsample=True, name=f"layer_{i}")
+            for i, c in enumerate(_PROG_CHANNELS)
+        ]
+        if self.is_initializing():
+            # Materialize every resolution's parameters up front so the whole
+            # progressive stack shares one param/optimizer tree across stages
+            # (the reference builds all layers in __init__,
+            # discriminators.py:145-170; unused layers get zero grads).
+            c_in = img.shape[-1]
+            for i, adapter in enumerate(adapters):
+                adapter(jnp.zeros((1, 4, 4, c_in), img.dtype))
+            for i, layer in enumerate(layers):
+                layer(jnp.zeros((1, 4, 4, _ADAPTER_CHANNELS[i]), img.dtype))
         x = adapters[start](img)
-        for i, layer_idx in enumerate(range(start, len(_PROG_CHANNELS))):
+        for i, layer in enumerate(layers[start:]):
             if i == 1:
                 x = alpha * x + (1.0 - alpha) * adapters[start + 1](
                     downsample_nearest_2x(img)
                 )
-            x = ResidualCoordConvBlock(
-                _PROG_CHANNELS[layer_idx], downsample=True,
-                name=f"layer_{layer_idx}",
-            )(x)
+            x = layer(x)
         return x  # (B, 2, 2, 400)
 
 
@@ -370,15 +381,24 @@ class _StridedBase(nn.Module):
         adapters = [
             AdapterBlock(c, name=f"fromRGB_{i}") for i, c in enumerate(_SG_ADAPTERS)
         ]
+        layers = [
+            StridedResidualConvBlock(c, coord=self.coord, name=f"layer_{i}")
+            for i, c in enumerate(_SG_CHANNELS)
+        ]
+        if self.is_initializing():
+            # materialize all stages' params (see _ProgressiveBase._trunk)
+            c_in = img.shape[-1]
+            for adapter in adapters:
+                adapter(jnp.zeros((1, 4, 4, c_in), img.dtype))
+            for i, layer in enumerate(layers):
+                layer(jnp.zeros((1, 4, 4, _SG_ADAPTERS[i]), img.dtype))
         x = adapters[start](img)
-        for i, layer_idx in enumerate(range(start, len(_SG_CHANNELS))):
+        for i, layer in enumerate(layers[start:]):
             if i == 1:
                 x = alpha * x + (1.0 - alpha) * adapters[start + 1](
                     downsample_nearest_2x(img)
                 )
-            x = StridedResidualConvBlock(
-                _SG_CHANNELS[layer_idx], coord=self.coord, name=f"layer_{layer_idx}"
-            )(x)
+            x = layer(x)
         return x
 
 

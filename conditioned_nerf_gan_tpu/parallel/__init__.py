@@ -1,0 +1,17 @@
+"""Device-mesh parallelism (pjit + NamedSharding over ICI)."""
+
+from .mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    compile_train_step,
+    data_sharding,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "compile_train_step",
+    "data_sharding",
+]

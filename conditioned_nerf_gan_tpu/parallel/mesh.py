@@ -1,0 +1,68 @@
+"""Data-parallel mesh utilities.
+
+The reference's distribution layer is single-node multi-GPU DDP over gloo
+(reference train.py:36-44, utils.py:322-401, datasets.py:268-302): gradient
+allreduce + input sharding + rank-0 checkpointing. The TPU-native equivalent
+needs none of that plumbing: the train step is jitted over a 1-D `data` mesh
+with the batch sharded on axis 0 and parameters/optimizer state replicated;
+XLA inserts the gradient psum over ICI automatically. Host-side input
+sharding is `jax.process_index()`-keyed in the DataLoader.
+
+The model itself is small (a 4×256 SIREN MLP + U-Net), so batch parallelism
+is the only profitable axis — matching the reference's design point (SURVEY
+§2, "DP / distributed backend"). The *ray* axis (img_size² × num_steps
+sample points) is the long-sequence analogue; it is sharded implicitly by
+sharding the batch, and per-image chunking is handled by remat/scan inside
+the train step rather than a context-parallel mesh axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    """1-D data mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Place a host batch with axis 0 sharded across the mesh."""
+    sharding = data_sharding(mesh, axis_name)
+    return {
+        k: jax.device_put(v, sharding)
+        for k, v in batch.items()
+        if not isinstance(v, list)
+    }
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree (params / optimizer state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def compile_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
+    """jit the train step with batch sharded on `axis_name`, state replicated.
+
+    Gradients reduce over ICI via the psum XLA inserts for the replicated
+    parameter update; the returned state stays replicated.
+    """
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch_sh, repl, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

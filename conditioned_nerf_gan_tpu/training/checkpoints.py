@@ -1,0 +1,56 @@
+"""Checkpoint save/restore with newest-checkpoint auto-resume.
+
+Parity target: reference utils.py:287-311 (resume precedence: newest
+checkpoint in output_dir/checkpoints → explicit load path → fresh init) and
+utils.py:463-501 (single-file per-step checkpoints holding model + optimizer
+state + loss histories; the step counter re-derives every schedule).
+
+Format: one msgpack file per step (`{step}.ckpt`, flax.serialization of the
+TrainState pytree) plus a sidecar `{step}.json` with loss histories — the
+functional analogue of the reference's torch .tar dict.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+from flax import serialization
+
+
+def find_newest_checkpoint(ckpt_dir: str | Path) -> Path | None:
+    """Highest-step `*.ckpt` in the directory (utils.py:85-93)."""
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    candidates = [p for p in ckpt_dir.glob("*.ckpt") if p.stem.isdigit()]
+    if not candidates:
+        return None
+    return max(candidates, key=lambda p: int(p.stem))
+
+
+def save_checkpoint(
+    ckpt_dir: str | Path, step: int, state: Any, histories: dict | None = None
+) -> Path:
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / f"{step}.ckpt"
+    host_state = jax.device_get(state)
+    path.write_bytes(serialization.to_bytes(host_state))
+    if histories is not None:
+        (ckpt_dir / f"{step}.json").write_text(json.dumps(histories))
+    return path
+
+
+def restore_checkpoint(path: str | Path, template_state: Any):
+    """Restore into a structurally-identical template TrainState.
+
+    Returns (state, histories) — histories {} if no sidecar exists.
+    """
+    path = Path(path)
+    state = serialization.from_bytes(template_state, path.read_bytes())
+    sidecar = path.with_suffix(".json")
+    histories = json.loads(sidecar.read_text()) if sidecar.exists() else {}
+    return state, histories

@@ -1,0 +1,523 @@
+"""Trainer: the end-to-end training runtime shell.
+
+Parity target: reference utils.py:122-1016 (`Trainer`) + train.py:58-143 (the
+epoch/step loop):
+  * output-dir contract: checkpoints/, logs/, samples/{trainview,valview,
+    testview}/, evaluation/ (utils.py:230-285)
+  * four dataset splits: train, val (held-out view), test (unseen cars), fid
+    (utils.py:139-189)
+  * curriculum precedence + JSON persistence (utils.py:191-228, 440-461)
+  * newest-checkpoint auto-resume; step counter re-derives all schedules
+    (utils.py:287-319)
+  * per-step metadata refresh; dataloader + compiled step rebuilt at stage
+    milestones (train.py:84-88 — on TPU the stage change is a recompile point
+    because batch/img/num_steps are shape-affecting)
+  * fade-in alpha + nerf-noise schedules (utils.py:610-618)
+  * tabulated stats every print_freq (utils.py:546-608), sample-image grids
+    every sampling_interval (utils.py:844-915), fixed-index val/test losses
+    (utils.py:917-972), checkpoint + FID eval every eval_freq
+    (utils.py:463-501, 974-1016).
+"""
+
+from __future__ import annotations
+
+import copy
+import random
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    curriculum_to_json,
+    extract_metadata,
+    last_upsample_step,
+    load_curriculum,
+)
+from ..data import DataLoader, ShapeNetDataset
+from ..models import ImplicitGenerator3d, ResnetPointnet, make_discriminator, make_unet
+from ..models.generator import RenderConfig
+from ..models.pointnet import encode_pcl
+from ..parallel import compile_train_step, make_mesh, replicate, shard_batch
+from ..utils import save_image_grid
+from .checkpoints import find_newest_checkpoint, restore_checkpoint, save_checkpoint
+from .schedules import fade_alpha, nerf_noise_schedule
+from .train_step import TrainStepConfig, create_train_state, make_train_step
+
+HISTORY_KEYS = (
+    "generator_losses",
+    "discriminator_losses",
+    "photometry_losses",
+    "depth_losses",
+    "photometry_losses_val",
+    "depth_losses_val",
+    "photometry_losses_test",
+    "depth_losses_test",
+    "fid_history",
+)
+
+
+class Trainer:
+    def __init__(self, args: Any, process_index: int = 0, process_count: int = 1,
+                 mesh=None):
+        self.args = args
+        self.process_index = process_index
+        self.process_count = process_count
+        self.is_main = process_index == 0
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+        self.curriculum = load_curriculum(
+            output_dir=args.output_dir,
+            load_dir=getattr(args, "load_dir", None) or None,
+            load_curriculum_path=getattr(args, "load_curriculum", None) or None,
+            config_base=getattr(args, "config_base", "thousand"),
+            config=getattr(args, "config", None),
+        )
+        self.metadata = extract_metadata(self.curriculum, 0)
+        self._mkdirs()
+        self.histories = {k: [] for k in HISTORY_KEYS}
+        self._render_cache: dict = {}
+        self.step = 0
+        self.epoch = 0
+
+        ds_meta = self.metadata["dataset"]
+        common = dict(
+            metadata=self.metadata,
+            load_voxel=ds_meta["load_voxel"],
+            load_pcl=ds_meta["load_pcl"],
+            voxel_resolution=self.metadata.get("voxel_resolution", 64),
+        )
+        # sample/val sets are read at the sample resolution (reference: 128²)
+        sample_size = self.metadata.get("sample_img_size", 128)
+        self.trainset = ShapeNetDataset(
+            ds_meta["path"], sample_size, ds_meta["trainset"], shuffle=True,
+            dataset_mode="train", **common,
+        )
+        self.valset = ShapeNetDataset(
+            ds_meta["path"], sample_size, ds_meta["trainset"], shuffle=False,
+            dataset_mode="val", **common,
+        )
+        self.testset = ShapeNetDataset(
+            ds_meta["path"], sample_size, ds_meta["testset"], shuffle=False,
+            dataset_mode="test", **common,
+        )
+        self.fidset = ShapeNetDataset(
+            ds_meta["path"], self.metadata["fid"]["target_size"],
+            self.metadata["fid"]["subset"], dataset_mode="test",
+            load_img=False, load_depth=False, load_cam=True, shuffle=False,
+            **common,
+        )
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+    def _mkdirs(self) -> None:
+        out = Path(self.args.output_dir)
+        self.checkpoints_path = out / "checkpoints"
+        self.logs_path = out / "logs"
+        self.samples_train_path = out / "samples" / "trainview"
+        self.samples_val_path = out / "samples" / "valview"
+        self.samples_test_path = out / "samples" / "testview"
+        self.evaluation_path = out / "evaluation"
+        if self.is_main:
+            for p in (self.checkpoints_path, self.logs_path,
+                      self.samples_train_path, self.samples_val_path,
+                      self.samples_test_path, self.evaluation_path):
+                p.mkdir(parents=True, exist_ok=True)
+
+    def _build_models(self):
+        gen_meta = dict(self.metadata["generator"])
+        gen_meta.setdefault("drop_out", self.metadata.get("dropout_ratio", 0))
+        self.generator = ImplicitGenerator3d(
+            siren_type=gen_meta["siren_type"],
+            z_dim=gen_meta["z_dim"],
+            input_dim=gen_meta.get("input_dim", 3),
+            output_dim=gen_meta.get("output_dim", 4),
+            hidden_dim=gen_meta.get("hidden_dim", 256),
+            drop_out=gen_meta.get("drop_out", 0),
+        )
+        ds = self.metadata["dataset"]
+        if ds["load_voxel"]:
+            self.encoder = make_unet(**self.metadata["unet"])
+        elif ds["load_pcl"]:
+            self.encoder = ResnetPointnet(c_dim=gen_meta["z_dim"])
+        else:
+            raise ValueError("Either load_pcl or load_voxel must be set")
+        self.discriminator = (
+            make_discriminator(self.metadata["discriminator"])
+            if self.metadata["enable_discriminator"] else None
+        )
+
+    def load_models(self) -> None:
+        """Build modules + TrainState; auto-resume from the newest checkpoint."""
+        self._build_models()
+        newest = find_newest_checkpoint(self.checkpoints_path)
+        load_path = None
+        if newest is not None:
+            load_path = newest
+        elif getattr(self.args, "load_dir", None):
+            load_path = Path(self.args.load_dir)
+
+        resume_step = int(load_path.stem) if load_path else 0
+        self.metadata = extract_metadata(self.curriculum, resume_step)
+        self.step_config = TrainStepConfig.from_metadata(self.metadata)
+
+        sample_batch = self._peek_batch()
+        key = jax.random.PRNGKey(getattr(self.args, "seed", 0))
+        self.state = jax.jit(
+            lambda k, b: create_train_state(
+                k, self.metadata, self.generator, self.encoder,
+                self.discriminator, b, self.step_config,
+            )
+        )(key, sample_batch)
+
+        if load_path is not None:
+            print(f"Resuming from checkpoint {load_path}")
+            self.state, histories = restore_checkpoint(load_path, self.state)
+            for k in HISTORY_KEYS:
+                self.histories[k] = histories.get(k, [])
+            self.step = int(self.state.step)
+        else:
+            print("Creating untrained models")
+        self._rebuild_step_fn()
+
+    def _peek_batch(self) -> dict:
+        loader = DataLoader(
+            self._stage_dataset(), self.metadata["batch_size"],
+            shuffle=False, drop_last=True,
+        )
+        batch = next(iter(loader))
+        return {k: v for k, v in batch.items() if not isinstance(v, list)}
+
+    def _stage_dataset(self) -> ShapeNetDataset:
+        ds = self.metadata["dataset"]
+        multifold = 3000 if ds["trainset"] in ("twenty", "single") else 1
+        return ShapeNetDataset(
+            ds["path"], self.metadata["img_size"], ds["trainset"], self.metadata,
+            ds["load_voxel"], ds["load_pcl"], shuffle=True, multifold=multifold,
+            cond_mode=ds.get("cond_mode") or None,
+            voxel_resolution=self.metadata.get("voxel_resolution", 64),
+            load_depth=ds.get("load_depth", False) or self.metadata.get("depth_loss", False),
+            seed=getattr(self.args, "seed", 0),
+        )
+
+    def _make_dataloader(self) -> DataLoader:
+        return DataLoader(
+            self._stage_dataset(), self.metadata["batch_size"], shuffle=True,
+            drop_last=True, seed=getattr(self.args, "seed", 0),
+            process_index=self.process_index, process_count=self.process_count,
+        )
+
+    def _rebuild_step_fn(self) -> None:
+        self.step_config = TrainStepConfig.from_metadata(self.metadata)
+        step_fn = make_train_step(
+            self.generator, self.encoder, self.discriminator,
+            self.metadata, self.step_config,
+        )
+        if len(self.mesh.devices.flat) > 1:
+            self._step_fn = compile_train_step(step_fn, self.mesh)
+            self.state = replicate(self.state, self.mesh)
+        else:
+            self._step_fn = jax.jit(step_fn, donate_argnums=(0,))
+
+    def update_metadata(self) -> bool:
+        """Refresh per-step hyperparameters; True if the stage changed
+        (utils.py:526-544)."""
+        new_meta = extract_metadata(self.curriculum, self.step)
+        changed = (
+            new_meta["batch_size"] != self.metadata["batch_size"]
+            or new_meta["img_size"] != self.metadata["img_size"]
+        )
+        self.metadata = new_meta
+        return changed
+
+    # ------------------------------------------------------------------
+    # schedules / bookkeeping
+    # ------------------------------------------------------------------
+    def set_alpha(self) -> None:
+        step_last = last_upsample_step(self.curriculum, self.step)
+        self.alpha = float(
+            fade_alpha(self.step, step_last, self.metadata["fade_steps"])
+        )
+        self.nerf_noise = float(nerf_noise_schedule(self.step))
+
+    def write_train_settings(self) -> None:
+        if not self.is_main:
+            return
+        out = Path(self.args.output_dir)
+        with open(out / "train_spec.txt", "w") as f:
+            f.write(str(vars(self.args)))
+            f.write("\n\n")
+            f.write(str(self.curriculum))
+            f.write("\n\n")
+            f.write(f"generator: {self.generator}\n")
+            if self.discriminator is not None:
+                f.write(f"discriminator: {self.discriminator}\n")
+            f.write(f"encoder: {self.encoder}\n")
+        curriculum_to_json(self.curriculum, out / "curriculum.json")
+
+    def print_stats(self, steps_elapsed_time: float):
+        if not (self.is_main and (self.step + 1) % self.args.print_freq == 0):
+            return None
+        from tabulate import tabulate
+
+        header = ["Time", "Epoch", "Step", "Sec per step", "Alpha",
+                  "Img Size", "Batch Size", "Num steps"]
+        row = [
+            datetime.now().strftime("%d--%H:%M"),
+            self.epoch,
+            self.step,
+            round(steps_elapsed_time / self.args.print_freq, 3),
+            f"{self.alpha:.2f}",
+            self.metadata["img_size"],
+            self.metadata["batch_size"] * self.process_count,
+            self.metadata["num_steps"],
+        ]
+        if self.metadata["dataset"]["load_voxel"]:
+            header.append("Voxel Res.")
+            row.append(self.metadata.get("voxel_resolution", 64))
+        pairs = [
+            ("Photo loss", "photometry_losses"),
+            ("Photo loss val", "photometry_losses_val"),
+            ("Depth loss val", "depth_losses_val"),
+            ("Photo loss test", "photometry_losses_test"),
+            ("Depth loss test", "depth_losses_test"),
+            ("Depth loss", "depth_losses"),
+            ("Loss_G", "generator_losses"),
+            ("Loss_D", "discriminator_losses"),
+        ]
+        for title, key in pairs:
+            hist = self.histories[key]
+            if hist:
+                value = hist[-1][1] if isinstance(hist[-1], (list, tuple)) else hist[-1]
+                header.append(title)
+                row.append(f"{value:.4f}")
+        stats = [header, row]
+        print(tabulate(stats, tablefmt="fancy_grid"), flush=True)
+        return stats
+
+    # ------------------------------------------------------------------
+    # train loop
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        self.write_train_settings()
+        dataloader = self._make_dataloader()
+        rng = jax.random.PRNGKey(1000 + self.process_index)
+        steps_elapsed = 0.0
+
+        for _ in range(self.args.n_epochs):
+            epoch_start = time.time()
+            if self.is_main:
+                print(f"---- {self.epoch}_th epoch ----", flush=True)
+            restart_epoch = False
+            for batch in dataloader:
+                if self.update_metadata():
+                    print(f"Metadata updated at step {self.step}. Reload dataset.")
+                    dataloader = self._make_dataloader()
+                    self._rebuild_step_fn()
+                    restart_epoch = True
+                    break
+
+                self.set_alpha()
+                t0 = time.time()
+                batch_dev = self._put_batch(batch)
+                self.state, metrics = self._step_fn(
+                    self.state, batch_dev, rng,
+                    jnp.float32(self.alpha), jnp.float32(self.nerf_noise),
+                )
+                metrics = {k: float(v) for k, v in metrics.items()}
+                self._record(metrics)
+                steps_elapsed += time.time() - t0
+
+                if self.print_stats(steps_elapsed) is not None:
+                    steps_elapsed = 0.0
+                self.sample_imgs()
+                self.save_models()
+                self.evaluate()
+
+                self.step += 1
+                if getattr(self.args, "stop_step", None) and self.step > self.args.stop_step:
+                    return
+            if self.is_main and not restart_epoch:
+                dt = time.time() - epoch_start
+                print(f"{self.epoch}_th epoch runtime: {int(dt//60):02}:{int(dt%60):02}")
+            if not restart_epoch:
+                self.epoch += 1
+
+    def _put_batch(self, batch: dict) -> dict:
+        batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        if len(self.mesh.devices.flat) > 1:
+            return shard_batch(batch, self.mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def _record(self, metrics: dict) -> None:
+        if "d_loss" in metrics:
+            self.histories["discriminator_losses"].append(metrics["d_loss"])
+        if self.metadata["enable_discriminator"]:
+            self.histories["generator_losses"].append(metrics["g_loss"])
+        if self.metadata["photo_loss"]:
+            self.histories["photometry_losses"].append(metrics["photo_loss"])
+        if self.metadata.get("depth_loss"):
+            self.histories["depth_losses"].append(metrics["depth_loss"])
+
+    # ------------------------------------------------------------------
+    # eval-time rendering helpers
+    # ------------------------------------------------------------------
+    def _eval_metadata(self, img_size=None, num_steps=None) -> dict:
+        meta = copy.deepcopy(self.metadata)
+        # sample/eval render resolution (reference hardcodes 128²/48,
+        # utils.py:871-874; curriculum-tunable here for small smoke runs)
+        meta["img_size"] = img_size or self.metadata.get("sample_img_size", 128)
+        meta["num_steps"] = num_steps or self.metadata.get("sample_num_steps", 48)
+        meta["nerf_noise"] = 0
+        meta["last_back"] = meta.get("eval_last_back", False)
+        return meta
+
+    def encode_batch(self, batch: dict):
+        """Gradient-free conditioning encode (eval path)."""
+        fn = self._render_cache.get("encode")
+        if fn is None:
+            if self.metadata["dataset"]["load_pcl"]:
+                def fn(params, b):
+                    z, _ = encode_pcl(
+                        lambda p, x: self.encoder.apply(p, x), params, b["pcl"],
+                    )
+                    return z
+            else:
+                def fn(params, b):
+                    z = self.encoder.apply(params, b["voxel"])
+                    return tuple(z) if isinstance(z, list) else z
+            fn = jax.jit(fn)
+            self._render_cache["encode"] = fn
+        return fn(self.state.params_E, batch)
+
+    def generate_img(self, z, cam2world, img_size=None, num_steps=None):
+        """Deterministic render at eval settings (reference utils.py:60-82)."""
+        meta = self._eval_metadata(img_size, num_steps)
+        key = ("render", meta["img_size"], meta["num_steps"])
+        fn = self._render_cache.get(key)
+        if fn is None:
+            cfg = RenderConfig.from_metadata(meta, perturb=False)
+            fn = jax.jit(
+                lambda p, zz, cc: self.generator.apply(p, zz, cc, cfg, rng=None)
+            )
+            self._render_cache[key] = fn
+        return fn(self.state.params_G, z, cam2world)
+
+    def sample_imgs(self) -> None:
+        """Dump GT/generated rgb+depth grids (utils.py:844-915)."""
+        if not (
+            self.is_main and (self.step + 1) % self.args.sampling_interval == 0
+        ):
+            return
+        for dataset, path, label in (
+            (self.trainset, self.samples_train_path, "train"),
+            (self.valset, self.samples_val_path, "val"),
+            (self.testset, self.samples_test_path, "test"),
+        ):
+            self._sample_from_cameras(dataset, path)
+        self.val_loss(self.valset, "photometry_losses_val", "depth_losses_val")
+        self.val_loss(self.testset, "photometry_losses_test", "depth_losses_test")
+
+    def _sample_from_cameras(self, dataset, save_dir, num_imgs: int = 12) -> None:
+        num_imgs = min(num_imgs, len(dataset))
+        ray_end = self.metadata["ray_end"]
+        rows_gt, rows_gt_depth, rows_gen, rows_gen_depth = [], [], [], []
+        indices = random.sample(range(len(dataset)), num_imgs)
+        for i in indices:
+            sample = dataset[i]
+            rows_gt.append(sample["img"] * 0.5 + 0.5)
+            gt_depth = sample.get("depth")
+            if gt_depth is None:
+                gt_depth = np.zeros(sample["img"].shape[:2], np.float32)
+            rows_gt_depth.append(
+                np.repeat((gt_depth / ray_end)[..., None], 3, axis=-1)
+            )
+            batch = {
+                k: jnp.asarray(v)[None]
+                for k, v in sample.items()
+                if k in ("pcl", "voxel")
+            }
+            z = self.encode_batch(batch)
+            cam = jnp.asarray(sample["cam2world"])[None]
+            rgb, depth = self.generate_img(z, cam)
+            rows_gen.append(np.asarray(rgb[0]) * 0.5 + 0.5)
+            rows_gen_depth.append(
+                np.repeat(np.asarray(depth[0] / ray_end)[..., None], 3, axis=-1)
+            )
+        # depth rows are 128² like the GT rgb; resize GT to match gen if needed
+        target = rows_gen[0].shape[0]
+        import cv2
+
+        def fit(img):
+            if img.shape[0] != target:
+                img = cv2.resize(img, (target, target), interpolation=cv2.INTER_AREA)
+            return img.astype(np.float32)
+
+        grid = [fit(x) for x in rows_gt + rows_gt_depth + rows_gen + rows_gen_depth]
+        save_image_grid(grid, save_dir / f"{self.step:06}.png", nrow=num_imgs)
+
+    def val_loss(self, dataset, photo_key: str, depth_key: str) -> None:
+        """Fixed-index val/test losses (utils.py:917-972)."""
+        num_imgs = min(self.metadata.get("val_num_imgs", 48), len(dataset))
+        indices = list(range(num_imgs))
+        photo_total, depth_total = 0.0, 0.0
+        for i in indices:
+            sample = dataset[i]
+            batch = {
+                k: jnp.asarray(v)[None]
+                for k, v in sample.items()
+                if k in ("pcl", "voxel")
+            }
+            z = self.encode_batch(batch)
+            cam = jnp.asarray(sample["cam2world"])[None]
+            rgb, depth = self.generate_img(z, cam)
+            photo_total += float(jnp.mean((jnp.asarray(sample["img"]) - rgb[0]) ** 2))
+            gt_depth = sample.get("depth")
+            if gt_depth is not None:
+                gt = jnp.asarray(gt_depth)
+                mask = gt != 0
+                depth_total += float(
+                    jnp.sum(jnp.where(mask, (gt - depth[0]) ** 2, 0.0))
+                    / jnp.maximum(mask.sum(), 1)
+                )
+        self.histories[photo_key].append([self.step, photo_total / num_imgs])
+        self.histories[depth_key].append([self.step, depth_total / num_imgs])
+
+    # ------------------------------------------------------------------
+    # persistence / evaluation
+    # ------------------------------------------------------------------
+    def save_models(self) -> None:
+        if self.is_main and (self.step + 1) % self.args.eval_freq == 0:
+            print(f"Saving checkpoint at step {self.step}")
+            save_checkpoint(
+                self.checkpoints_path, self.step, self.state, self.histories
+            )
+
+    def evaluate(self) -> None:
+        """FID / oFID / LPIPS / PSNR eval every eval_freq (utils.py:974-1016)."""
+        if (self.step + 1) % self.args.eval_freq != 0:
+            return
+        try:
+            from ..eval import evaluate_trainer
+        except ImportError:
+            return
+        meta = self._eval_metadata(img_size=128, num_steps=96)
+        results = evaluate_trainer(self, meta)
+        if self.is_main and results is not None:
+            fid, ofid, lpips_score, psnr = results
+            self.histories["fid_history"].append(
+                [self.step, fid, ofid, lpips_score, psnr]
+            )
+            with open(Path(self.args.output_dir) / "fid.txt", "a") as f:
+                f.write(f"\n{self.step} {fid} {ofid} {lpips_score} {psnr}")
+            print(
+                f"Metrics at step {self.step}: FID {fid} | oFID {ofid} | "
+                f"LPIPS {lpips_score} | PSNR {psnr}",
+                flush=True,
+            )
