@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark: flagship render throughput (rays/sec/chip).
+
+Measures the eval-protocol render path (SHORTSIREN thesis model: z_dim 512,
+hidden 256; 128² images, 48 coarse + 48 fine samples/ray — reference
+utils.py:980-983) on the default JAX backend (the real TPU chip under the
+driver). Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: ratio against the PyTorch reference running the same render on
+this machine's CPU (measured once and cached in bench_baseline.json; the
+reference publishes no GPU numbers — see BASELINE.md). If no baseline is
+obtainable, vs_baseline is 1.0 by convention.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+BASELINE_CACHE = REPO / "bench_baseline.json"
+
+IMG_SIZE = 128
+NUM_STEPS = 48
+BATCH = 2
+Z_DIM = 512
+HIDDEN = 256
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from conditioned_nerf_gan_tpu.models import ImplicitGenerator3d, RenderConfig
+
+    gen = ImplicitGenerator3d(siren_type="SHORTSIREN", z_dim=Z_DIM, hidden_dim=HIDDEN)
+    cfg = RenderConfig(
+        img_size=IMG_SIZE, num_steps=NUM_STEPS, fov=49.134342641202636,
+        ray_start=0.25, ray_end=1.95, hierarchical_sample=True, white_back=True,
+    )
+    key = jax.random.PRNGKey(0)
+    z = jax.random.normal(key, (BATCH, Z_DIM))
+    cams = jnp.broadcast_to(jnp.eye(4), (BATCH, 4, 4)).astype(jnp.float32)
+    params = jax.jit(lambda k: gen.init(k, z, cams, cfg))(key)
+
+    render = jax.jit(lambda p, zz, cc, k: gen.apply(p, zz, cc, cfg, rng=k,
+                                                    nerf_noise=0.0,
+                                                    deterministic=True))
+    # warmup / compile
+    out = render(params, z, cams, key)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = render(params, z, cams, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    rays = BATCH * IMG_SIZE * IMG_SIZE * iters
+    return rays / dt
+
+
+def measure_torch_baseline() -> float | None:
+    """Reference PyTorch render on CPU (the only hardware both share)."""
+    import sys
+
+    if not Path("/root/reference").exists():
+        return None
+    sys.path.insert(0, "/root/reference")
+    try:
+        import torch
+
+        from generators import generators as tgen
+
+        model = tgen.ImplicitGenerator3d(
+            siren_type="SHORTSIREN", z_dim=Z_DIM, input_dim=3,
+            output_dim=4, hidden_dim=HIDDEN,
+        )
+        model.set_device("cpu")
+        model.eval()
+        z = torch.randn(1, Z_DIM)
+        cam = torch.eye(4).unsqueeze(0)
+        kwargs = dict(
+            img_size=IMG_SIZE, fov=49.134342641202636, ray_start=0.25,
+            ray_end=1.95, num_steps=NUM_STEPS, hierarchical_sample=True,
+            clamp_mode="relu", nerf_noise=0.0, white_back=True,
+        )
+        with torch.no_grad():
+            model(z, cam, **kwargs)  # warmup
+            t0 = time.perf_counter()
+            iters = 2
+            for _ in range(iters):
+                model(z, cam, **kwargs)
+            dt = time.perf_counter() - t0
+        return (IMG_SIZE * IMG_SIZE * iters) / dt
+    except Exception:
+        return None
+    finally:
+        sys.path.remove("/root/reference")
+
+
+def main() -> None:
+    value = measure_tpu()
+
+    if BASELINE_CACHE.exists():
+        baseline = json.loads(BASELINE_CACHE.read_text())
+    else:
+        ref = measure_torch_baseline()
+        baseline = {
+            "torch_cpu_rays_per_sec": ref,
+            "config": f"{IMG_SIZE}x{IMG_SIZE}, {NUM_STEPS}x2 samples, "
+                      f"SHORTSIREN z{Z_DIM} h{HIDDEN}",
+        }
+        try:
+            BASELINE_CACHE.write_text(json.dumps(baseline, indent=2))
+        except OSError:
+            pass
+
+    ref = baseline.get("torch_cpu_rays_per_sec")
+    vs_baseline = round(value / ref, 2) if ref else 1.0
+    print(json.dumps({
+        "metric": "render_rays_per_sec_128",
+        "value": round(value, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()
