@@ -1,0 +1,107 @@
+"""Eval stack tests: feature nets, FID/oFID/LPIPS/PSNR, pairing protocol."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conditioned_nerf_gan_tpu.eval.metrics import (
+    compute_fid_from_dirs,
+    compute_metrics_from_dirs,
+    compute_psnr,
+    frechet_distance,
+    newton_schulz_sqrt_trace,
+)
+
+
+def test_inception_feature_shapes():
+    from conditioned_nerf_gan_tpu.eval.inception import get_inception
+
+    model, params = get_inception()
+    imgs = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 3)), jnp.float32)
+    f768, f2048 = jax.jit(model.apply)(params, imgs)
+    assert f768.shape == (2, 17, 17, 768)
+    assert f2048.shape == (2, 2048)
+    assert np.isfinite(np.asarray(f768)).all()
+    assert np.isfinite(np.asarray(f2048)).all()
+
+
+def test_lpips_properties():
+    from conditioned_nerf_gan_tpu.eval.lpips import get_lpips
+
+    model, params = get_lpips()
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.random((2, 64, 64, 3)) * 2 - 1, jnp.float32)
+    b = jnp.asarray(rng.random((2, 64, 64, 3)) * 2 - 1, jnp.float32)
+    fn = jax.jit(model.apply)
+    d_same = np.asarray(fn(params, a, a))
+    d_diff = np.asarray(fn(params, a, b))
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-5)
+    assert (d_diff > 0).all()
+
+
+def test_frechet_distance_analytic():
+    """Identical Gaussians → 0; mean shift → squared distance."""
+    dim = 8
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(500, dim))
+    mu, sigma = a.mean(0), np.cov(a, rowvar=False)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+    shift = np.ones(dim) * 2.0
+    d = frechet_distance(mu, sigma, mu + shift, sigma)
+    np.testing.assert_allclose(d, shift.dot(shift), rtol=1e-5)
+
+
+def test_newton_schulz_matches_scipy():
+    from scipy import linalg
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(16, 16))
+    spd = a @ a.T + np.eye(16) * 0.1
+    exact = np.trace(linalg.sqrtm(spd))
+    approx = float(newton_schulz_sqrt_trace(jnp.asarray(spd)))
+    np.testing.assert_allclose(approx, exact.real, rtol=1e-3)
+
+
+def test_psnr():
+    a = np.zeros((2, 8, 8, 3), np.float32)
+    b = np.full_like(a, 0.1)
+    np.testing.assert_allclose(compute_psnr(a, b), 20.0, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def image_dirs(tmp_path_factory):
+    """Paired {car}_{i:04}.png dirs: gen = real + slight noise."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("metrics")
+    real, gen = root / "real", root / "gen"
+    real.mkdir(), gen.mkdir()
+    rng = np.random.default_rng(4)
+    cars = ["carA", "carB"]
+    for car in cars:
+        base = rng.random((12, 32, 32, 3))
+        noisy = np.clip(base + rng.normal(0, 0.05, base.shape), 0, 1)
+        for i in range(12):
+            cv2.imwrite(str(real / f"{car}_{i:04}.png"),
+                        (base[i, :, :, ::-1] * 255).astype(np.uint8))
+            cv2.imwrite(str(gen / f"{car}_{i:04}.png"),
+                        (noisy[i, :, :, ::-1] * 255).astype(np.uint8))
+    (root / "val.lst").write_text("\n".join(cars) + "\n")
+    return root
+
+
+def test_fid_identical_dirs_is_zero(image_dirs):
+    fid = compute_fid_from_dirs(image_dirs / "real", image_dirs / "real")
+    assert abs(fid) < 1e-3
+
+
+def test_compute_metrics_from_dirs(image_dirs):
+    fid, ofid, lpips_score, psnr = compute_metrics_from_dirs(
+        image_dirs / "real", image_dirs / "gen", image_dirs / "val.lst",
+        views_per_car=12,
+    )
+    assert np.isfinite([fid, ofid, lpips_score, psnr]).all()
+    assert fid > 0 and ofid > 0 and lpips_score > 0
+    assert 20 < psnr < 35  # 0.05-sigma noise ≈ 26 dB
