@@ -86,6 +86,15 @@ class ImplicitGenerator3d(nn.Module):
             mapping_network=self.mapping_network,
         )
 
+    def eval_points(self, points: jax.Array, z: Any) -> jax.Array:
+        """Raw SIREN field evaluation at world points → (B, N, 4) rgb+sigma.
+
+        Used by shape extraction (reference extract_shapes.py:63-68 accesses
+        generator.siren directly); call via
+        `generator.apply(params, pts, z, method="eval_points")`.
+        """
+        return self.siren(points, z)
+
     def __call__(
         self,
         z: Any,
@@ -95,6 +104,7 @@ class ImplicitGenerator3d(nn.Module):
         rng: jax.Array | None = None,
         nerf_noise: jax.Array | float = 0.0,
         deterministic: bool = True,
+        fov: jax.Array | float | None = None,
     ):
         """Render a batch of images.
 
@@ -119,8 +129,10 @@ class ImplicitGenerator3d(nn.Module):
         k_perturb, k_fine, k_noise1, k_noise2 = jax.random.split(rng, 4)
 
         # --- ray generation (no grad through geometry, generators.py:57) ---
+        # fov may be passed as a traced scalar (e.g. orbit-video fov sweeps)
         points, z_vals, rays_d_cam = get_initial_rays(
-            B, S, config.fov, (W, H), config.ray_start, config.ray_end
+            B, S, config.fov if fov is None else fov, (W, H),
+            config.ray_start, config.ray_end,
         )
         if config.perturb and use_noise:
             points, z_vals = perturb_points(points, z_vals, rays_d_cam, key=k_perturb)

@@ -33,26 +33,29 @@ def normalize_vecs(v: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
     return v / norm
 
 
-def pixel_rays(fov: float, width: int, height: int, dtype=jnp.float32) -> jax.Array:
+def pixel_rays(fov, width: int, height: int, dtype=jnp.float32) -> jax.Array:
     """Per-pixel unit ray directions in camera space, shape (W*H, 3).
 
     Pixel (row j, col i) maps to flat index j*W + i with
     x = linspace(-1,1,W)[i], y = linspace(-1,1,H)[j], z = 1/tan(fov/2)
     (fov in degrees) — matching the meshgrid/transpose convention of the
-    reference (volumetric_rendering.py:77-88).
+    reference (volumetric_rendering.py:77-88). `fov` may be a traced scalar
+    (per-frame fov sweeps, e.g. orbit videos, don't recompile).
     """
     x = jnp.linspace(-1.0, 1.0, width, dtype=dtype)
     y = jnp.linspace(-1.0, 1.0, height, dtype=dtype)
     xx = jnp.tile(x[None, :], (height, 1)).reshape(-1)
     yy = jnp.tile(y[:, None], (1, width)).reshape(-1)
-    z = jnp.full_like(xx, 1.0 / math.tan(math.radians(fov) / 2.0))
+    z = jnp.broadcast_to(
+        1.0 / jnp.tan(fov * (math.pi / 360.0)), xx.shape
+    ).astype(dtype)
     return normalize_vecs(jnp.stack([xx, yy, z], axis=-1))
 
 
 def get_initial_rays(
     batch_size: int,
     num_steps: int,
-    fov: float,
+    fov,
     resolution: tuple[int, int],
     ray_start: float,
     ray_end: float,
