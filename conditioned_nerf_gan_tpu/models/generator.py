@@ -74,6 +74,7 @@ class ImplicitGenerator3d(nn.Module):
     hidden_dim: int = 256
     drop_out: float = 0.0
     mapping_network: str = "CustomMappingNetwork"
+    compute_dtype: Any = None  # bf16 SIREN matmul policy (fp32 params/sin)
 
     def setup(self):
         self.siren = make_siren(
@@ -84,6 +85,7 @@ class ImplicitGenerator3d(nn.Module):
             hidden_dim=self.hidden_dim,
             drop_out=self.drop_out,
             mapping_network=self.mapping_network,
+            compute_dtype=self.compute_dtype,
         )
 
     def eval_points(self, points: jax.Array, z: Any) -> jax.Array:

@@ -72,13 +72,22 @@ class TorchLinear(nn.Module):
     kernel_init: Callable = torch_default_uniform
     use_bias: bool = True
     bias_init_zero: bool = False
-    dtype: jnp.dtype | None = None
+    dtype: jnp.dtype | None = None  # compute dtype (bf16 policy); params stay fp32
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (fan_in, self.features))
-        y = jnp.dot(x.astype(self.dtype or x.dtype), kernel.astype(self.dtype or kernel.dtype))
+        if self.dtype is not None:
+            # mixed precision: bf16 operands on the MXU, fp32 accumulation —
+            # the sin() epilogues downstream stay fp32 (bf16 resolution is far
+            # too coarse for sin(freq·x) with freq ≈ 30-45)
+            y = jnp.dot(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            y = jnp.dot(x, kernel)
         if self.use_bias:
             if self.bias_init_zero:
                 bias_init = nn.initializers.zeros
@@ -108,10 +117,12 @@ class FiLMLayer(nn.Module):
     hidden_dim: int
     kernel_init: Callable = frequency_init(25)
     drop_out_prob: float = 0.0
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, freq, phase_shift, deterministic: bool = True):
-        x = TorchLinear(self.hidden_dim, kernel_init=self.kernel_init)(x)
+        x = TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
+                        dtype=self.dtype)(x)
         if freq.ndim == x.ndim - 1:
             freq = freq[:, None, :]
             phase_shift = phase_shift[:, None, :]
@@ -127,10 +138,12 @@ class SirenLayer(nn.Module):
     hidden_dim: int
     kernel_init: Callable = frequency_init(25)
     drop_out_prob: float = 0.0
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = jnp.sin(TorchLinear(self.hidden_dim, kernel_init=self.kernel_init)(x))
+        y = jnp.sin(TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
+                                dtype=self.dtype)(x))
         if self.drop_out_prob > 0:
             y = nn.Dropout(self.drop_out_prob)(y, deterministic=deterministic)
         return y
@@ -141,11 +154,14 @@ class ResSirenBlock(nn.Module):
 
     hidden_dim: int
     kernel_init: Callable = frequency_init(25)
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        net = jnp.sin(TorchLinear(self.hidden_dim, kernel_init=self.kernel_init)(x))
-        net = TorchLinear(self.hidden_dim, kernel_init=self.kernel_init)(net)
+        net = jnp.sin(TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
+                                  dtype=self.dtype)(x))
+        net = TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
+                          dtype=self.dtype)(net)
         return jnp.sin(x + net)
 
 

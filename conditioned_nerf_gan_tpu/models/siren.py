@@ -143,6 +143,7 @@ class ConditionedSiren(nn.Module):
     output_dim: int = 4
     drop_out: float = 0.0
     mapping_network: str = "CustomMappingNetwork"  # for spec.mapping='selectable'
+    compute_dtype: jnp.dtype | None = None  # bf16 matmuls w/ fp32 sin epilogue
 
     @nn.compact
     def __call__(self, points, z, deterministic: bool = True):
@@ -209,14 +210,17 @@ class ConditionedSiren(nn.Module):
                 lo = idx * self.hidden_dim
                 hi = (idx + 1) * self.hidden_dim
                 x = FiLMLayer(
-                    self.hidden_dim, kernel_init=kinit, drop_out_prob=self.drop_out
+                    self.hidden_dim, kernel_init=kinit,
+                    drop_out_prob=self.drop_out, dtype=self.compute_dtype,
                 )(x, freq[..., lo:hi], phase[..., lo:hi], deterministic=deterministic)
             elif kind == "siren":
                 x = SirenLayer(
-                    self.hidden_dim, kernel_init=kinit, drop_out_prob=self.drop_out
+                    self.hidden_dim, kernel_init=kinit,
+                    drop_out_prob=self.drop_out, dtype=self.compute_dtype,
                 )(x, deterministic=deterministic)
             elif kind == "res":
-                x = ResSirenBlock(self.hidden_dim, kernel_init=finit)(
+                x = ResSirenBlock(self.hidden_dim, kernel_init=finit,
+                                  dtype=self.compute_dtype)(
                     x, deterministic=deterministic
                 )
             else:
@@ -360,6 +364,7 @@ def make_siren(
     hidden_dim: int = 256,
     drop_out: float = 0.0,
     mapping_network: str = "CustomMappingNetwork",
+    compute_dtype=None,
     **_unused,
 ) -> nn.Module:
     """Build a SIREN variant by reference class name (generators.py:15)."""
@@ -374,6 +379,7 @@ def make_siren(
             output_dim=output_dim,
             drop_out=drop_out,
             mapping_network=mapping_network,
+            compute_dtype=compute_dtype,
         )
     if siren_type == "SPATIALSIRENBASELINE":
         return SpatialSirenBaseline(
