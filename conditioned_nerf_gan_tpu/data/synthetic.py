@@ -37,7 +37,11 @@ def _make_car(rng: np.ndarray, n_boxes: int = 3):
 
 
 def _voxelize(boxes, resolution: int) -> np.ndarray:
-    """Rasterize boxes into an (X, Y, Z, 4) occupancy+RGB grid in the 1.2³ cube."""
+    """Rasterize boxes into an (X, Y, Z, 4) grid in the 1.2³ cube.
+
+    Channel layout matches the reference pcl2voxel output
+    (feature_volume/pcl2voxel.py:60-64): channel 0 = occupancy, 1:4 = rgb.
+    """
     coords = (np.arange(resolution) + 0.5) / resolution * 1.2 - 0.6
     gx, gy, gz = np.meshgrid(coords, coords, coords, indexing="ij")
     vox = np.zeros((resolution, resolution, resolution, 4), dtype=np.float32)
@@ -47,8 +51,8 @@ def _voxelize(boxes, resolution: int) -> np.ndarray:
             & (np.abs(gy - center[1]) < half[1])
             & (np.abs(gz - center[2]) < half[2])
         )
-        vox[inside, 0:3] = color
-        vox[inside, 3] = 1.0
+        vox[inside, 0] = 1.0
+        vox[inside, 1:4] = color
     return vox
 
 
@@ -95,8 +99,8 @@ def _render_views(vox, cam2worlds, img_size, fov, ray_start, ray_end, num_steps=
         flat = wpts.reshape(B, -1, 3) / 0.6
         feats = trilinear_point_features(vol, flat, padding_mode="zeros")
         feats = feats.reshape(B, img_size * img_size, num_steps, 4)
-        rgb = feats[..., :3]
-        sigma = jnp.where(feats[..., 3:] > 0.5, 800.0, -800.0)
+        rgb = feats[..., 1:4]
+        sigma = jnp.where(feats[..., 0:1] > 0.5, 800.0, -800.0)
         pix, dist, _ = volume_integrate(
             jnp.concatenate([rgb, sigma], -1), z_vals,
             clamp_mode="relu", white_back=True,

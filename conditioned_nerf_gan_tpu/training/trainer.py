@@ -324,6 +324,14 @@ class Trainer:
                     break
 
                 self.set_alpha()
+                # profiler hook (the reference's vestigial @profile decorators,
+                # train.py:57 / utils.py:620, become a real xprof trace here)
+                profile_dir = getattr(self.args, "profile_dir", None)
+                if profile_dir and self.step == 10:
+                    jax.profiler.start_trace(profile_dir)
+                if profile_dir and self.step == 15:
+                    jax.profiler.stop_trace()
+                    print(f"Wrote profiler trace to {profile_dir}")
                 t0 = time.time()
                 batch_dev = self._put_batch(batch)
                 self.state, metrics = self._step_fn(

@@ -48,7 +48,7 @@ def test_sample_contents(dataset_root):
     # camera on radius-1.1 sphere looking at origin
     np.testing.assert_allclose(np.linalg.norm(s["cam2world"][:3, 3]), 1.1, atol=1e-4)
     assert s["voxel"].shape == (32, 32, 32, 4)
-    assert 0 < s["voxel"][..., 3].mean() < 0.5
+    assert 0 < s["voxel"][..., 0].mean() < 0.5  # channel 0 = occupancy
     assert s["pcl"].shape == (256, 6)  # 512 * num_points_ratio
     assert s["depth"].shape == (32, 32)
     fg = s["depth"][s["depth"] > 0]

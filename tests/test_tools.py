@@ -1,0 +1,105 @@
+"""Tools tests: voxelization, baseline renderer, geometry checks, converters."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conditioned_nerf_gan_tpu.data import make_synthetic_shapenet
+from conditioned_nerf_gan_tpu.tools.converters import npy_to_obj, npy_to_ply, subsample_pcl
+from conditioned_nerf_gan_tpu.tools.geometry import (
+    backproject_depth,
+    chamfer_distance,
+    check_camera_convention,
+    kdtree_negative_samples,
+)
+from conditioned_nerf_gan_tpu.tools.pcl2voxel import save_voxel_npz, voxelize_pcl
+from conditioned_nerf_gan_tpu.tools.voxel_render import voxel_surface_render
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shapenet_tools")
+    return make_synthetic_shapenet(
+        root, n_cars=2, n_views=3, img_size=32, n_points=1024,
+        voxel_resolutions=(32,),
+    )
+
+
+def test_voxelize_pcl_layout_and_colors():
+    pcl = np.array([
+        [0.0, 0.0, 0.0, 1.0, 0.0, 0.0],
+        [0.001, 0.001, 0.001, 0.0, 1.0, 0.0],  # same voxel → color averaged
+        [0.45, 0.45, 0.45, 0.0, 0.0, 1.0],
+    ], np.float32)
+    vox = voxelize_pcl(pcl, resolution=8, length=1.2)
+    assert vox.shape == (8, 8, 8, 4)
+    assert vox[..., 0].sum() == 2  # two occupied voxels
+    center = vox[4, 4, 4]
+    assert center[0] == 1.0
+    np.testing.assert_allclose(center[1:], [0.5, 0.5, 0.0], atol=1e-6)
+
+
+def test_save_voxel_npz_matches_reference_format(dataset_root):
+    out = save_voxel_npz(dataset_root / "car0000", resolution=16, length=1.2,
+                         voxel_name="voxel_test.npz")
+    data = np.load(out)
+    assert set(data.files) >= {"voxel", "length", "resolution"}
+    assert data["voxel"].shape == (16, 16, 16, 4)
+
+
+def test_voxel_surface_render_first_hit(dataset_root):
+    import cv2
+
+    car = dataset_root / "car0000"
+    vox = np.load(car / "voxel_32.npz")["voxel"]
+    cams = np.load(car / "cameras.npz")
+    cam = jnp.asarray(cams["world_mat_inv_0"])[None]
+    vol = jnp.asarray(vox.transpose(2, 1, 0, 3))[None]
+    rgb = np.asarray(voxel_surface_render(
+        vol, cam, 32, 49.134342641202636, 0.2, 2.0, 128
+    ))[0]
+    # silhouette should roughly match the rendered GT image foreground
+    gt = cv2.imread(str(car / "image" / "0000.png"), cv2.IMREAD_UNCHANGED)
+    gt = cv2.cvtColor(gt, cv2.COLOR_BGRA2RGB) / 65535.0
+    gt = cv2.resize(gt, (32, 32), interpolation=cv2.INTER_AREA)
+    fg_render = (rgb < 0.97).any(-1)
+    fg_gt = (gt < 0.97).any(-1)
+    iou = (fg_render & fg_gt).sum() / max((fg_render | fg_gt).sum(), 1)
+    assert iou > 0.6
+
+
+def test_chamfer_distance_analytic():
+    a = np.zeros((5, 3))
+    b = np.ones((7, 3))
+    # one-sided means are both 3 (squared distance), symmetric sum = 6
+    np.testing.assert_allclose(chamfer_distance(a, b), 6.0, rtol=1e-5)
+    assert chamfer_distance(a, a) == 0.0
+
+
+def test_camera_convention_roundtrip(dataset_root):
+    """Backprojected GT depth lands on the GT point cloud — the checkpos
+    invariant that validates the whole camera convention."""
+    d = check_camera_convention(dataset_root / "car0000", view=0)
+    assert d < 0.01  # squared-distance chamfer; surface≈surface
+
+
+def test_kdtree_negative_samples(dataset_root):
+    pcl = np.load(dataset_root / "car0000" / "pcl_color.npy")
+    neg = kdtree_negative_samples(pcl, 64, radius=0.05)
+    from scipy.spatial import KDTree
+
+    dist, _ = KDTree(pcl[:, :3]).query(neg)
+    assert (dist > 0.05).all()
+
+
+def test_converters_roundtrip(tmp_path):
+    pcl = np.random.default_rng(0).random((10, 6)).astype(np.float32)
+    npy = tmp_path / "p.npy"
+    np.save(npy, pcl)
+    obj = npy_to_obj(npy)
+    assert obj.read_text().count("\n") == 10
+    ply = npy_to_ply(npy)
+    assert "element vertex 10" in ply.read_text()
+    sub = subsample_pcl(npy, 4)
+    assert np.load(sub).shape == (4, 6)

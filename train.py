@@ -42,6 +42,9 @@ def parse_args(argv=None):
                         help="experiment config name within the config base")
     parser.add_argument("--config_base", type=str, default="thousand")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a JAX/xprof profiler trace of steps "
+                             "10-15 into this directory")
     parser.add_argument("--platform", type=str, default=None,
                         choices=[None, "cpu", "tpu"],
                         help="force a JAX platform (default: environment)")
