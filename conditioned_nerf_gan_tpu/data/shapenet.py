@@ -20,6 +20,7 @@ DistributedSampler, and prefetches on a background thread.
 
 from __future__ import annotations
 
+import os
 import random
 import threading
 import queue as queue_mod
@@ -109,6 +110,11 @@ class ShapeNetDataset:
 
         self.img_size = img_size
         self.metadata = metadata
+        self._use_native = False
+        if os.environ.get("CNG_NATIVE_LOADER") == "1":
+            from . import native
+
+            self._use_native = native.available()
         self.load_img = load_img
         self.load_depth = load_depth
         self.load_voxel = load_voxel
@@ -134,8 +140,13 @@ class ShapeNetDataset:
         car_dir = img_path.parent.parent
 
         if self.load_img:
-            x = _read_resize_png16(img_path, self.img_size)
-            sample["img"] = ((x - 0.5) / 0.5).astype(np.float32)  # NHWC in [-1,1]
+            if self._use_native:
+                from . import native
+
+                sample["img"] = native.read_png16(img_path, self.img_size)
+            else:
+                x = _read_resize_png16(img_path, self.img_size)
+                sample["img"] = ((x - 0.5) / 0.5).astype(np.float32)  # [-1,1]
 
         if self.cond_mode or self.load_cam:
             cameras = np.load(car_dir / "cameras.npz")

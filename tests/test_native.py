@@ -1,0 +1,83 @@
+"""Native fastload data-path tests (compiled on first use; skip if no g++)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from conditioned_nerf_gan_tpu.data import native
+
+
+@pytest.fixture(scope="module")
+def png_files(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("pngs")
+    rng = np.random.default_rng(0)
+    paths, truths = [], []
+    for i in range(6):
+        img = rng.random((64, 64, 3)).astype(np.float32)
+        rgba = np.concatenate([img[..., ::-1], np.ones_like(img[..., :1])], -1)
+        p = root / f"{i}.png"
+        cv2.imwrite(str(p), (rgba * 65535).astype(np.uint16))
+        paths.append(p)
+        truths.append(img)
+    return paths, truths
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_decode_matches_cv2(png_files):
+    import cv2
+
+    paths, truths = png_files
+    out = native.read_png16(paths[0], 64, scale=1.0, shift=0.0)
+    np.testing.assert_allclose(out, truths[0], atol=2e-4)
+
+    # resized decode vs cv2 INTER_AREA
+    out32 = native.read_png16(paths[0], 32, scale=1.0, shift=0.0)
+    ref = cv2.resize(truths[0], (32, 32), interpolation=cv2.INTER_AREA)
+    np.testing.assert_allclose(out32, ref, atol=2e-3)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_batch_decode_threads(png_files):
+    paths, truths = png_files
+    out = native.read_png16_batch(paths, 64, scale=1.0, shift=0.0, n_threads=4)
+    assert out.shape == (6, 64, 64, 3)
+    for i in range(6):
+        np.testing.assert_allclose(out[i], truths[i], atol=2e-4)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_normalization_matches_dataset(png_files):
+    paths, truths = png_files
+    out = native.read_png16(paths[0], 64)  # default ×2−1
+    np.testing.assert_allclose(out, truths[0] * 2 - 1, atol=4e-4)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_dataset_native_path(tmp_path, monkeypatch):
+    from conditioned_nerf_gan_tpu.data import ShapeNetDataset, make_synthetic_shapenet
+
+    root = make_synthetic_shapenet(tmp_path, n_cars=1, n_views=2, img_size=32,
+                                   n_points=128, voxel_resolutions=(32,))
+    meta = {"num_points_ratio": 1.0, "dataset": {}}
+    ds_cv = ShapeNetDataset(root, 32, "twenty", meta, False, False,
+                            load_depth=False, shuffle=False)
+    monkeypatch.setenv("CNG_NATIVE_LOADER", "1")
+    ds_nat = ShapeNetDataset(root, 32, "twenty", meta, False, False,
+                             load_depth=False, shuffle=False)
+    assert ds_nat._use_native
+    a = ds_cv[0]["img"]
+    b = ds_nat[0]["img"]
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_bad_file_error(tmp_path):
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"not a png")
+    with pytest.raises(RuntimeError, match="-2"):
+        native.read_png16(bad, 32)
+    with pytest.raises(RuntimeError):
+        native.read_png16(tmp_path / "missing.png", 32)
