@@ -115,3 +115,50 @@ default = {
 }
 
 special = {}
+
+# Voxel-conditioned smoke variant (the direct_volume/dg_dis experiment family
+# at toy scale: 3D U-Net encoder + feature-volume FG siren).
+voxel = {
+    "generator": {
+        "siren_type": "SHORTSIREN_dg",  # alias → SHORTSIREN_FG
+        "z_dim": 32,
+        "input_dim": 16,
+        "output_dim": 4,
+        "hidden_dim": 64,
+    },
+    "unet": {
+        "type": "UNet3D",
+        "in_channels": 4,
+        "out_channels": 16,
+        "f_maps": 8,
+        "num_levels": 3,
+        "is_segmentation": False,
+        "final_sigmoid": False,
+        "return_global": True,
+    },
+    "dataset": {"load_voxel": True, "load_pcl": False},
+}
+
+# Conditioned-discriminator smoke variant (featvol_cond_dis family at toy
+# scale: conditioning view concatenated on the discriminator input).
+cond = {
+    "generator": {
+        "siren_type": "SHORTSIREN_dg",
+        "z_dim": 32,
+        "input_dim": 16,
+        "output_dim": 4,
+        "hidden_dim": 64,
+    },
+    "unet": {
+        "type": "UNet3D",
+        "in_channels": 4,
+        "out_channels": 16,
+        "f_maps": 8,
+        "num_levels": 3,
+        "is_segmentation": False,
+        "final_sigmoid": False,
+        "return_global": True,
+    },
+    "dataset": {"load_voxel": True, "load_pcl": False, "cond_mode": "random"},
+    "discriminator": "ProgressiveDiscriminator_inputCat",
+}

@@ -242,7 +242,11 @@ class AbstractUNet3D(nn.Module):
 
         def block(features, encoder, name):
             if self.residual:
-                return ExtResNetBlock(features, num_groups=self.num_groups, name=name)
+                # the reference passes its layer_order ("gcr") through to
+                # ExtResNetBlock, overriding that class's "cge" default
+                # (unet3d.py:310-317 forwards order=layer_order)
+                return ExtResNetBlock(features, order=self.layer_order,
+                                      num_groups=self.num_groups, name=name)
             return DoubleConv(features, encoder, self.layer_order,
                               self.num_groups, name=name)
 
