@@ -10,8 +10,14 @@ TPU-first differences:
     that affects shapes or control flow lives in the hashable RenderConfig so
     each curriculum stage is one compiled XLA program.
   * Images are NHWC (TPU conv layout) instead of NCHW.
-  * `nerf_noise` is a *traced* scalar — its per-step decay (utils.py:618)
-    doesn't trigger recompilation.
+  * `nerf_noise` and `fov` are *traced* scalars — per-step noise decay
+    (utils.py:618) and per-frame fov sweeps don't recompile.
+  * `ray_chunks > 1` renders the per-ray pipeline in rematerialized chunks
+    (lax.map + jax.checkpoint over the ray axis): activation memory scales
+    with the chunk instead of the image, the mathematically clean
+    alternative to the reference's `batch_split` gradient accumulation
+    (utils.py:638-711) — the discriminator still sees full images and the
+    generator gradient is the true full-batch gradient.
 """
 
 from __future__ import annotations
@@ -50,6 +56,7 @@ class RenderConfig:
     last_back: bool = False
     fill_mode: str | None = None
     perturb: bool = True
+    ray_chunks: int = 0  # >1: rematerialized ray-chunked rendering
 
     @classmethod
     def from_metadata(cls, metadata: dict, **overrides) -> "RenderConfig":
@@ -97,6 +104,63 @@ class ImplicitGenerator3d(nn.Module):
         """
         return self.siren(points, z)
 
+    # ------------------------------------------------------------------
+    def _ray_pipeline(self, siren_fn, z, points, z_vals, rays_d_world,
+                      origins, keys, config: RenderConfig, nerf_noise,
+                      use_noise: bool):
+        """Full per-ray pipeline: SIREN evals + hierarchical resample +
+        integrate. points (B, R, S, 3) → pixels (B, R, 3), distances (B, R, 1).
+        """
+        B, R, S, _ = points.shape
+        k_fine, k_noise1, k_noise2 = keys
+
+        coarse_output = siren_fn(points.reshape(B, R * S, 3), z).reshape(
+            B, R, S, 4
+        )
+
+        if config.hierarchical_sample:
+            # importance resampling, fully detached (generators.py:111-152)
+            def fine_points_fn(coarse_output, z_vals):
+                _, _, weights = volume_integrate(
+                    coarse_output, z_vals,
+                    noise_std=nerf_noise if use_noise else 0.0,
+                    key=k_noise1 if use_noise else None,
+                    clamp_mode=config.clamp_mode,
+                )
+                weights = weights.reshape(B * R, S) + 1e-5
+                z_flat = z_vals.reshape(B * R, S)
+                z_mid = 0.5 * (z_flat[:, :-1] + z_flat[:, 1:])
+                fine_z = sample_pdf(
+                    z_mid, weights[:, 1:-1], S,
+                    det=not use_noise, key=k_fine,
+                ).reshape(B, R, S, 1)
+                fine_pts = (
+                    origins[:, :, None, :]
+                    + rays_d_world[:, :, None, :] * fine_z
+                )
+                return fine_pts.reshape(B, R * S, 3), fine_z
+
+            fine_points, fine_z = jax.lax.stop_gradient(
+                fine_points_fn(coarse_output, z_vals)
+            )
+            fine_output = siren_fn(fine_points, z).reshape(B, R, S, 4)
+            all_outputs, all_z = merge_sorted_samples(
+                fine_output, fine_z, coarse_output, z_vals
+            )
+        else:
+            all_outputs, all_z = coarse_output, z_vals
+
+        pixels, distances, _ = volume_integrate(
+            all_outputs, all_z,
+            noise_std=nerf_noise if use_noise else 0.0,
+            key=k_noise2 if use_noise else None,
+            white_back=config.white_back,
+            last_back=config.last_back,
+            clamp_mode=config.clamp_mode,
+            fill_mode=config.fill_mode,
+        )
+        return pixels, distances
+
     def __call__(
         self,
         z: Any,
@@ -118,6 +182,7 @@ class ImplicitGenerator3d(nn.Module):
           rng: PRNG key for stratified perturbation / fine sampling / density
                noise (None → deterministic rendering, matching eval overrides)
           nerf_noise: density-noise stddev (traced scalar ok)
+          fov: optional traced fov override (orbit-video sweeps)
         Returns:
           pixels (B, H, W, 3) in [-1, 1]; depth (B, H, W) z-depth map.
         """
@@ -131,7 +196,6 @@ class ImplicitGenerator3d(nn.Module):
         k_perturb, k_fine, k_noise1, k_noise2 = jax.random.split(rng, 4)
 
         # --- ray generation (no grad through geometry, generators.py:57) ---
-        # fov may be passed as a traced scalar (e.g. orbit-video fov sweeps)
         points, z_vals, rays_d_cam = get_initial_rays(
             B, S, config.fov if fov is None else fov, (W, H),
             config.ray_start, config.ray_end,
@@ -146,56 +210,62 @@ class ImplicitGenerator3d(nn.Module):
         rays_d_world = jax.lax.stop_gradient(rays_d_world)
         origins = jax.lax.stop_gradient(origins)
 
-        flat_points = points.reshape(B, W * H * S, 3)
-        coarse_output = self.siren(
-            flat_points, z, deterministic=deterministic
-        ).reshape(B, W * H, S, 4)
+        chunks = config.ray_chunks
+        if self.is_initializing() and chunks > 1:
+            # init only creates params; don't execute the full-size render
+            self.siren(points.reshape(B, -1, 3)[:, : S], z)
+            return jnp.zeros((B, H, W, 3)), jnp.zeros((B, H, W))
+        if chunks > 1:
+            # Rematerialized ray-chunked rendering: the whole per-ray pipeline
+            # runs chunk by chunk under jax.checkpoint, so backward-pass
+            # activation memory is bounded by the chunk size. self.siren is
+            # invoked as a *pure* function of its bound variables (lifting a
+            # module call through lax.map is not needed).
+            siren_vars = self.siren.variables
 
-        if config.hierarchical_sample:
-            # --- importance resampling, fully detached (generators.py:111-152)
-            def fine_points_fn(coarse_output, z_vals):
-                _, _, weights = volume_integrate(
-                    coarse_output, z_vals,
-                    noise_std=nerf_noise if use_noise else 0.0,
-                    key=k_noise1 if use_noise else None,
-                    clamp_mode=config.clamp_mode,
+            def siren_fn(pts, zz):
+                return self.siren.apply(siren_vars, pts, zz)
+
+            R = W * H
+            assert R % chunks == 0, "ray_chunks must divide img_size²"
+            r = R // chunks
+
+            def reshape_chunks(x):
+                return x.reshape(B, chunks, r, *x.shape[2:]).swapaxes(0, 1)
+
+            pts_c = reshape_chunks(points)
+            zv_c = reshape_chunks(z_vals)
+            dirs_c = reshape_chunks(rays_d_world)
+            orig_c = reshape_chunks(origins)
+            keys = jnp.stack([
+                jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.arange(chunks))
+                for k in (k_fine, k_noise1, k_noise2)
+            ], axis=1)  # (chunks, 3, 2)
+
+            @jax.checkpoint
+            def chunk_fn(operands):
+                pts, zv, dirs, orig, ks = operands
+                return self._ray_pipeline(
+                    siren_fn, z, pts, zv, dirs, orig,
+                    (ks[0], ks[1], ks[2]), config, nerf_noise, use_noise,
                 )
-                weights = weights.reshape(B * W * H, S) + 1e-5
-                z_flat = z_vals.reshape(B * W * H, S)
-                z_mid = 0.5 * (z_flat[:, :-1] + z_flat[:, 1:])
-                fine_z = sample_pdf(
-                    z_mid, weights[:, 1:-1], S,
-                    det=not use_noise, key=k_fine,
-                ).reshape(B, W * H, S, 1)
-                fine_pts = (
-                    origins[:, :, None, :]
-                    + rays_d_world[:, :, None, :] * fine_z
-                )
-                return fine_pts.reshape(B, W * H * S, 3), fine_z
 
-            fine_points, fine_z = jax.lax.stop_gradient(
-                fine_points_fn(coarse_output, z_vals)
+            pixels_c, dist_c = jax.lax.map(
+                chunk_fn, (pts_c, zv_c, dirs_c, orig_c, keys)
             )
-
-            fine_output = self.siren(
-                fine_points, z, deterministic=deterministic
-            ).reshape(B, W * H, S, 4)
-
-            all_outputs, all_z = merge_sorted_samples(
-                fine_output, fine_z, coarse_output, z_vals
-            )
+            pixels = pixels_c.swapaxes(0, 1).reshape(B, R, 3)
+            distances = dist_c.swapaxes(0, 1).reshape(B, R, 1)
         else:
-            all_outputs, all_z = coarse_output, z_vals
-
-        pixels, distances, _ = volume_integrate(
-            all_outputs, all_z,
-            noise_std=nerf_noise if use_noise else 0.0,
-            key=k_noise2 if use_noise else None,
-            white_back=config.white_back,
-            last_back=config.last_back,
-            clamp_mode=config.clamp_mode,
-            fill_mode=config.fill_mode,
-        )
+            if self.is_initializing():
+                # param creation only needs one tiny siren eval
+                self.siren(points.reshape(B, -1, 3)[:, : S], z)
+            pixels, distances = self._ray_pipeline(
+                lambda pts, zz: self.siren(
+                    pts, zz, deterministic=deterministic
+                ),
+                z, points, z_vals, rays_d_world, origins,
+                (k_fine, k_noise1, k_noise2), config, nerf_noise, use_noise,
+            )
 
         pixels = pixels.reshape(B, H, W, 3) * 2.0 - 1.0
         depth = distance2depth(distances, rays_d_cam).reshape(B, H, W)

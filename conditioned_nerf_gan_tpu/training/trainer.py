@@ -350,12 +350,25 @@ class Trainer:
 
                 self.step += 1
                 if getattr(self.args, "stop_step", None) and self.step > self.args.stop_step:
+                    self._final_checkpoint()
                     return
             if self.is_main and not restart_epoch:
                 dt = time.time() - epoch_start
                 print(f"{self.epoch}_th epoch runtime: {int(dt//60):02}:{int(dt%60):02}")
             if not restart_epoch:
                 self.epoch += 1
+        self._final_checkpoint()
+
+    def _final_checkpoint(self) -> None:
+        """Always leave a checkpoint at loop exit (the eval_freq-gated save
+        can otherwise lose an entire sub-eval_freq run)."""
+        if self.is_main and not (
+            self.checkpoints_path / f"{self.step - 1}.ckpt"
+        ).exists():
+            print(f"Saving final checkpoint at step {self.step - 1}")
+            save_checkpoint(
+                self.checkpoints_path, self.step - 1, self.state, self.histories
+            )
 
     def _put_batch(self, batch: dict) -> dict:
         batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
@@ -435,10 +448,22 @@ class Trainer:
     def _sample_from_cameras(self, dataset, save_dir, num_imgs: int = 12) -> None:
         num_imgs = min(num_imgs, len(dataset))
         ray_end = self.metadata["ray_end"]
-        rows_gt, rows_gt_depth, rows_gen, rows_gen_depth = [], [], [], []
         indices = random.sample(range(len(dataset)), num_imgs)
-        for i in indices:
-            sample = dataset[i]
+        samples = [dataset[i] for i in indices]
+        # one batched render (the reference loops B=1, utils.py:885-909 —
+        # per-dispatch latency dominates on a tunnelled TPU)
+        batch = {
+            k: jnp.asarray(np.stack([s[k] for s in samples]))
+            for k in ("pcl", "voxel", "cam2world")
+            if k in samples[0]
+        }
+        z = self.encode_batch(batch)
+        rgb, depth = self.generate_img(z, batch["cam2world"])
+        rgb = np.asarray(rgb)
+        depth = np.asarray(depth)
+
+        rows_gt, rows_gt_depth, rows_gen, rows_gen_depth = [], [], [], []
+        for row, sample in enumerate(samples):
             rows_gt.append(sample["img"] * 0.5 + 0.5)
             gt_depth = sample.get("depth")
             if gt_depth is None:
@@ -446,17 +471,9 @@ class Trainer:
             rows_gt_depth.append(
                 np.repeat((gt_depth / ray_end)[..., None], 3, axis=-1)
             )
-            batch = {
-                k: jnp.asarray(v)[None]
-                for k, v in sample.items()
-                if k in ("pcl", "voxel")
-            }
-            z = self.encode_batch(batch)
-            cam = jnp.asarray(sample["cam2world"])[None]
-            rgb, depth = self.generate_img(z, cam)
-            rows_gen.append(np.asarray(rgb[0]) * 0.5 + 0.5)
+            rows_gen.append(rgb[row] * 0.5 + 0.5)
             rows_gen_depth.append(
-                np.repeat(np.asarray(depth[0] / ray_end)[..., None], 3, axis=-1)
+                np.repeat((depth[row] / ray_end)[..., None], 3, axis=-1)
             )
         # depth rows are 128² like the GT rgb; resize GT to match gen if needed
         target = rows_gen[0].shape[0]
@@ -470,30 +487,36 @@ class Trainer:
         grid = [fit(x) for x in rows_gt + rows_gt_depth + rows_gen + rows_gen_depth]
         save_image_grid(grid, save_dir / f"{self.step:06}.png", nrow=num_imgs)
 
-    def val_loss(self, dataset, photo_key: str, depth_key: str) -> None:
-        """Fixed-index val/test losses (utils.py:917-972)."""
+    def val_loss(self, dataset, photo_key: str, depth_key: str,
+                 batch_size: int = 8) -> None:
+        """Fixed-index val/test losses (utils.py:917-972).
+
+        Renders in batches (the reference loops B=1 through a DataLoader,
+        utils.py:918-933 — per-dispatch latency makes that painful on TPU).
+        """
         num_imgs = min(self.metadata.get("val_num_imgs", 48), len(dataset))
-        indices = list(range(num_imgs))
+        batch_size = min(batch_size, num_imgs)
+        num_imgs -= num_imgs % batch_size  # drop_last, as the reference does
         photo_total, depth_total = 0.0, 0.0
-        for i in indices:
-            sample = dataset[i]
+        for start in range(0, num_imgs, batch_size):
+            samples = [dataset[i] for i in range(start, start + batch_size)]
             batch = {
-                k: jnp.asarray(v)[None]
-                for k, v in sample.items()
-                if k in ("pcl", "voxel")
+                k: jnp.asarray(np.stack([s[k] for s in samples]))
+                for k in ("pcl", "voxel", "cam2world", "img", "depth")
+                if k in samples[0]
             }
             z = self.encode_batch(batch)
-            cam = jnp.asarray(sample["cam2world"])[None]
-            rgb, depth = self.generate_img(z, cam)
-            photo_total += float(jnp.mean((jnp.asarray(sample["img"]) - rgb[0]) ** 2))
-            gt_depth = sample.get("depth")
-            if gt_depth is not None:
-                gt = jnp.asarray(gt_depth)
+            rgb, depth = self.generate_img(z, batch["cam2world"])
+            photo_total += float(
+                jnp.mean((batch["img"] - rgb) ** 2, axis=(1, 2, 3)).sum()
+            )
+            if "depth" in batch:
+                gt = batch["depth"]
                 mask = gt != 0
-                depth_total += float(
-                    jnp.sum(jnp.where(mask, (gt - depth[0]) ** 2, 0.0))
-                    / jnp.maximum(mask.sum(), 1)
-                )
+                per_img = jnp.sum(
+                    jnp.where(mask, (gt - depth) ** 2, 0.0), axis=(1, 2)
+                ) / jnp.maximum(mask.sum(axis=(1, 2)), 1)
+                depth_total += float(per_img.sum())
         self.histories[photo_key].append([self.step, photo_total / num_imgs])
         self.histories[depth_key].append([self.step, depth_total / num_imgs])
 
