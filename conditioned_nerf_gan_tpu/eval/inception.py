@@ -19,8 +19,6 @@ image, no pretrained caches), not a protocol deviation.
 from __future__ import annotations
 
 import os
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,6 @@ Parity target: reference metric_utils.py —
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import extract_metadata, curriculum_from_json, load_curriculum
-from ..data import DataLoader, ShapeNetDataset
+from ..data import ShapeNetDataset
 from ..models import ImplicitGenerator3d, ResnetPointnet, make_discriminator, make_unet
 from ..models.generator import RenderConfig
 from ..models.pointnet import encode_pcl

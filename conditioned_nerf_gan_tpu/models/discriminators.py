@@ -24,13 +24,9 @@ stage is its own compiled function while all parameters are shared.
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-
-from .layers import kaiming_leaky_init
 
 IMG_SIZE_TO_LAYER = {2: 8, 4: 7, 8: 6, 16: 5, 32: 4, 64: 3, 128: 2, 256: 1, 512: 0}
 SG_IMG_SIZE_TO_LAYER = {2: 7, 4: 6, 8: 5, 16: 4, 32: 3, 64: 2, 128: 1, 256: 0}

@@ -17,7 +17,7 @@ MXU wants; dropout and the sin() epilogue fuse into the matmul under XLA.
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

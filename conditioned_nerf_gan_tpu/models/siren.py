@@ -32,8 +32,6 @@ reference siren.py:299-311; volumes are NDHWC on TPU.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

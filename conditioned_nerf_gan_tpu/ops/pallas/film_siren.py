@@ -23,8 +23,6 @@ gradients for training.
 from __future__ import annotations
 
 import functools
-import math
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

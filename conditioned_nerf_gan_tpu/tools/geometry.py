@@ -118,15 +118,11 @@ def pointnet_critical_points(encoder_apply, params, pcl: np.ndarray) -> np.ndarr
     """Indices of input points that attain the PointNet final max-pool
     (reference misc/extract_critical_pts.py; cf. pointnet.py:113-141)."""
     import flax.linen as nn
-
-    from ..models.pointnet import ResnetBlockFC
     # recompute the pre-pool features and take per-channel argmax
     pcl_j = jnp.asarray(pcl)[None]
 
     def prepool(params, p):
         # mirror ResnetPointnet.__call__ up to the final pool
-        from ..models.layers import TorchLinear
-
         mdl_params = params["params"]
 
         def dense(name, x):

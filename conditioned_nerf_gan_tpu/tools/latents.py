@@ -11,8 +11,6 @@ from pathlib import Path
 
 import numpy as np
 
-import jax.numpy as jnp
-
 
 def encode_dataset_latents(checkpoint: str | Path, sampling_mode: str = "val",
                            max_items: int = 200):

@@ -28,7 +28,6 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax
