@@ -40,7 +40,8 @@ def measure_tpu() -> float:
 
     from conditioned_nerf_gan_tpu.models import ImplicitGenerator3d, RenderConfig
 
-    gen = ImplicitGenerator3d(siren_type="SHORTSIREN", z_dim=Z_DIM, hidden_dim=HIDDEN)
+    gen = ImplicitGenerator3d(siren_type="SHORTSIREN", z_dim=Z_DIM, hidden_dim=HIDDEN,
+                              use_fast_sin=True)
     cfg = RenderConfig(
         img_size=IMG_SIZE, num_steps=NUM_STEPS, fov=49.134342641202636,
         ray_start=0.25, ray_end=1.95, hierarchical_sample=True, white_back=True,

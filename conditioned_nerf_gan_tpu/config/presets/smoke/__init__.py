@@ -100,6 +100,7 @@ default = {
         "return_global": True,
     },
     "fid": {"subset": "val", "target_size": 32},
+    "use_fast_sin": True,
     "sample_img_size": 32,
     "sample_num_steps": 12,
     "val_num_imgs": 4,

@@ -85,4 +85,7 @@ default = {
     "lock_view_dependence": False,
     "geo_loss": False,
     "photo_loss": False,
+    # range-reduced polynomial sin: ~3x faster renders on TPU; ~1e-7 output
+    # drift at trained weight scales (ops/fastmath.py)
+    "use_fast_sin": True,
 }

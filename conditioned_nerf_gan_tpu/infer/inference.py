@@ -151,6 +151,7 @@ class Inferencer:
             input_dim=gen_meta.get("input_dim", 3),
             output_dim=gen_meta.get("output_dim", 4),
             hidden_dim=gen_meta.get("hidden_dim", 256),
+            use_fast_sin=meta.get("use_fast_sin", False),
         )
         ds = meta["dataset"]
         if ds["load_voxel"]:

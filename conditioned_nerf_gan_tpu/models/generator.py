@@ -82,6 +82,7 @@ class ImplicitGenerator3d(nn.Module):
     drop_out: float = 0.0
     mapping_network: str = "CustomMappingNetwork"
     compute_dtype: Any = None  # bf16 SIREN matmul policy (fp32 params/sin)
+    use_fast_sin: bool = False  # polynomial sin (ops/fastmath.py, ~3e-6 err)
 
     def setup(self):
         self.siren = make_siren(
@@ -93,6 +94,7 @@ class ImplicitGenerator3d(nn.Module):
             drop_out=self.drop_out,
             mapping_network=self.mapping_network,
             compute_dtype=self.compute_dtype,
+            use_fast_sin=self.use_fast_sin,
         )
 
     def eval_points(self, points: jax.Array, z: Any) -> jax.Array:

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.fastmath import fast_sin
+
 
 # ---------------------------------------------------------------------------
 # Initializers (matching torch semantics; fan_in = kernel shape[0] in flax)
@@ -118,6 +120,7 @@ class FiLMLayer(nn.Module):
     kernel_init: Callable = frequency_init(25)
     drop_out_prob: float = 0.0
     dtype: jnp.dtype | None = None
+    use_fast_sin: bool = False
 
     @nn.compact
     def __call__(self, x, freq, phase_shift, deterministic: bool = True):
@@ -126,7 +129,8 @@ class FiLMLayer(nn.Module):
         if freq.ndim == x.ndim - 1:
             freq = freq[:, None, :]
             phase_shift = phase_shift[:, None, :]
-        y = jnp.sin(freq * x + phase_shift)
+        sin = fast_sin if self.use_fast_sin else jnp.sin
+        y = sin(freq * x + phase_shift)
         if self.drop_out_prob > 0:
             y = nn.Dropout(self.drop_out_prob)(y, deterministic=deterministic)
         return y
@@ -139,11 +143,13 @@ class SirenLayer(nn.Module):
     kernel_init: Callable = frequency_init(25)
     drop_out_prob: float = 0.0
     dtype: jnp.dtype | None = None
+    use_fast_sin: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = jnp.sin(TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
-                                dtype=self.dtype)(x))
+        sin = fast_sin if self.use_fast_sin else jnp.sin
+        y = sin(TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
+                            dtype=self.dtype)(x))
         if self.drop_out_prob > 0:
             y = nn.Dropout(self.drop_out_prob)(y, deterministic=deterministic)
         return y
@@ -155,14 +161,16 @@ class ResSirenBlock(nn.Module):
     hidden_dim: int
     kernel_init: Callable = frequency_init(25)
     dtype: jnp.dtype | None = None
+    use_fast_sin: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        net = jnp.sin(TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
-                                  dtype=self.dtype)(x))
+        sin = fast_sin if self.use_fast_sin else jnp.sin
+        net = sin(TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
+                              dtype=self.dtype)(x))
         net = TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
                           dtype=self.dtype)(net)
-        return jnp.sin(x + net)
+        return sin(x + net)
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,7 @@ class ConditionedSiren(nn.Module):
     drop_out: float = 0.0
     mapping_network: str = "CustomMappingNetwork"  # for spec.mapping='selectable'
     compute_dtype: jnp.dtype | None = None  # bf16 matmuls w/ fp32 sin epilogue
+    use_fast_sin: bool = False  # range-reduced polynomial sin (ops/fastmath.py)
 
     @nn.compact
     def __call__(self, points, z, deterministic: bool = True):
@@ -210,15 +211,18 @@ class ConditionedSiren(nn.Module):
                 x = FiLMLayer(
                     self.hidden_dim, kernel_init=kinit,
                     drop_out_prob=self.drop_out, dtype=self.compute_dtype,
+                    use_fast_sin=self.use_fast_sin,
                 )(x, freq[..., lo:hi], phase[..., lo:hi], deterministic=deterministic)
             elif kind == "siren":
                 x = SirenLayer(
                     self.hidden_dim, kernel_init=kinit,
                     drop_out_prob=self.drop_out, dtype=self.compute_dtype,
+                    use_fast_sin=self.use_fast_sin,
                 )(x, deterministic=deterministic)
             elif kind == "res":
                 x = ResSirenBlock(self.hidden_dim, kernel_init=finit,
-                                  dtype=self.compute_dtype)(
+                                  dtype=self.compute_dtype,
+                                  use_fast_sin=self.use_fast_sin)(
                     x, deterministic=deterministic
                 )
             else:
@@ -363,6 +367,7 @@ def make_siren(
     drop_out: float = 0.0,
     mapping_network: str = "CustomMappingNetwork",
     compute_dtype=None,
+    use_fast_sin: bool = False,
     **_unused,
 ) -> nn.Module:
     """Build a SIREN variant by reference class name (generators.py:15)."""
@@ -378,6 +383,7 @@ def make_siren(
             drop_out=drop_out,
             mapping_network=mapping_network,
             compute_dtype=compute_dtype,
+            use_fast_sin=use_fast_sin,
         )
     if siren_type == "SPATIALSIRENBASELINE":
         return SpatialSirenBaseline(

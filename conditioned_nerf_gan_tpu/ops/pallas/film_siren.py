@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..fastmath import fast_sin
+
 # output channels padded to one sublane tile for efficient stores
 _OUT_PAD = 8
 
@@ -61,14 +63,14 @@ def _kernel(points_ref, freq_ref, phase_ref, w0_ref, b0_ref, ws_ref, bs_ref,
         x.astype(matmul_dtype), w0_ref[...].astype(matmul_dtype),
         preferred_element_type=jnp.float32,
     ) + b0_ref[0]
-    h = jnp.sin(f[0:hidden] * h + p[0:hidden])
+    h = fast_sin(f[0:hidden] * h + p[0:hidden])
     for l in range(num_layers - 1):
         h = jnp.dot(
             h.astype(matmul_dtype), ws_ref[l].astype(matmul_dtype),
             preferred_element_type=jnp.float32,
         ) + bs_ref[l]
         lo, hi = (l + 1) * hidden, (l + 2) * hidden
-        h = jnp.sin(f[lo:hi] * h + p[lo:hi])
+        h = fast_sin(f[lo:hi] * h + p[lo:hi])
     out = jnp.dot(
         h.astype(matmul_dtype), wf_ref[...].astype(matmul_dtype),
         preferred_element_type=jnp.float32,

@@ -140,6 +140,7 @@ class Trainer:
             output_dim=gen_meta.get("output_dim", 4),
             hidden_dim=gen_meta.get("hidden_dim", 256),
             drop_out=gen_meta.get("drop_out", 0),
+            use_fast_sin=self.metadata.get("use_fast_sin", False),
         )
         ds = self.metadata["dataset"]
         if ds["load_voxel"]:
