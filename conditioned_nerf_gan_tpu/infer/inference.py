@@ -408,6 +408,65 @@ class Inferencer:
         )
         return out
 
+    def render_pcl_masked(self, pcl_idx: int, num_views: int = 8,
+                          mask: bool = True) -> Path:
+        """Colored-pcl export from *dataset* views, optionally masking the
+        backprojected depth with the GT depth map (inference.py:603-693)."""
+        sample0 = self.valset[pcl_idx]
+        car_dir = Path(sample0["img_path"]).parent.parent
+        car_name = car_dir.stem
+        z = self.encode(self._cond_batch(sample0))
+        cams_npz = np.load(car_dir / "cameras.npz")
+        n_available = len(
+            [k for k in cams_npz.files if k.startswith("world_mat_inv_")]
+        )
+        views = random.sample(range(n_available), min(num_views, n_available))
+
+        img_size = self.curriculum["img_size"]
+        focal = 1.0 / math.tan(math.radians(self.curriculum["fov"]) / 2.0)
+        ray_start, ray_end = self.curriculum["ray_start"], self.curriculum["ray_end"]
+        pts_xyz, pts_rgb = [], []
+        for view in views:
+            cam = cams_npz[f"world_mat_inv_{view}"].astype(np.float32)
+            rgb, depth = self.generate_img(z, cam[None])
+            rgb = np.asarray(rgb[0])
+            depth = np.asarray(depth[0])
+            valid = (depth > ray_start) & (depth < ray_end)
+            if mask:
+                from ..tools.geometry import backproject_depth  # noqa: F401
+                depth_npy = car_dir / "depth" / f"{view:04}.npy"
+                exr = car_dir / "depth" / f"{view:04}0001.exr"
+                gt = None
+                if depth_npy.exists():
+                    gt = np.load(depth_npy)
+                elif exr.exists():
+                    from ..data.exr import read_exr_depth
+
+                    gt = read_exr_depth(exr, img_size)
+                if gt is not None:
+                    if gt.shape[0] != img_size:
+                        import cv2
+
+                        gt = cv2.resize(gt, (img_size, img_size))
+                    valid &= gt > 1e-4
+            ys, xs = np.nonzero(valid)
+            d = depth[ys, xs]
+            x_cam = (2 * xs - (img_size - 1)) / (img_size - 1) / focal * d
+            y_cam = (2 * ys - (img_size - 1)) / (img_size - 1) / focal * d
+            pts = np.stack([x_cam, y_cam, d, np.ones_like(d)], axis=1)
+            pts_xyz.append((pts @ cam.T)[:, :3])
+            pts_rgb.append(rgb[ys, xs] * 0.5 + 0.5)
+
+        xyz = np.concatenate(pts_xyz)
+        rgb255 = np.clip(np.concatenate(pts_rgb) * 255 + 0.5, 0, 255).astype(np.uint8)
+        stamp = datetime.now().strftime("%d--%H:%M:%S")
+        out = self._inference_dir() / f"{self.step}_{car_name}_masked_{stamp}.obj"
+        with open(out, "w") as f:
+            for p, c in zip(xyz, rgb255):
+                f.write(f"v {p[0]} {p[1]} {p[2]} {c[0]} {c[1]} {c[2]}\n")
+        print("Saving masked pcl to", out)
+        return out
+
     # ------------------------------------------------------------------
     # density voxel export (inference.py:342-385)
     # ------------------------------------------------------------------

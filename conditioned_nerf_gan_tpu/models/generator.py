@@ -272,3 +272,30 @@ class ImplicitGenerator3d(nn.Module):
         pixels = pixels.reshape(B, H, W, 3) * 2.0 - 1.0
         depth = distance2depth(distances, rays_d_cam).reshape(B, H, W)
         return pixels, depth
+
+
+def generate_avg_frequencies(generator: ImplicitGenerator3d, params, key,
+                             n_samples: int = 10000):
+    """Average mapping-network frequencies/phases over random latents — the
+    truncation-trick statistic (reference generators.py:189-197; meaningful
+    for latent-conditioned sirens with a mapping network).
+    """
+    from .layers import LinearMapping, PointFeaturesMappingNetwork
+    from .siren import SIREN_SPECS, _MAPPINGS
+
+    spec = SIREN_SPECS.get(generator.siren_type)
+    if spec is None or spec.mapping is None:
+        raise ValueError(f"{generator.siren_type} has no mapping network")
+    z = jax.random.normal(key, (n_samples, generator.z_dim))
+    out_dim = len(spec.layers) * generator.hidden_dim * 2
+    if spec.mapping == "linear":
+        mapping = LinearMapping(out_dim)
+    elif spec.mapping == "pointfeat":
+        mapping = PointFeaturesMappingNetwork(hidden_dim=256, output_dim=out_dim)
+    else:
+        mapping = _MAPPINGS[generator.mapping_network](
+            hidden_dim=256, output_dim=out_dim
+        )
+    sub = params["params"]["siren"]["mapping_network"]
+    freq, phase = mapping.apply({"params": sub}, z)
+    return freq.mean(0, keepdims=True), phase.mean(0, keepdims=True)

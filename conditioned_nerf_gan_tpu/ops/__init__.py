@@ -14,11 +14,14 @@ from .rays import (
     transform_rays,
     sample_camera_positions,
     create_cam2world_matrix,
+    create_world2cam_matrix,
+    xyz2angles,
     distance2depth,
 )
 from .integration import volume_integrate
 from .sampling import sample_pdf, merge_sorted_samples
 from .grid_sample import grid_sample_3d, trilinear_point_features
+from .fastmath import fast_sin
 
 __all__ = [
     "normalize_vecs",
@@ -28,10 +31,13 @@ __all__ = [
     "transform_rays",
     "sample_camera_positions",
     "create_cam2world_matrix",
+    "create_world2cam_matrix",
+    "xyz2angles",
     "distance2depth",
     "volume_integrate",
     "sample_pdf",
     "merge_sorted_samples",
     "grid_sample_3d",
     "trilinear_point_features",
+    "fast_sin",
 ]

@@ -189,6 +189,21 @@ def create_cam2world_matrix(origin: jax.Array, up_direction: str = "y") -> jax.A
     return mat
 
 
+def create_world2cam_matrix(origin: jax.Array,
+                            up_direction: str = "y") -> jax.Array:
+    """Inverse look-at matrix (reference volumetric_rendering.py:290-294)."""
+    return jnp.linalg.inv(create_cam2world_matrix(origin, up_direction))
+
+
+def xyz2angles(xyz: jax.Array):
+    """(phi, theta) angles of points (reference volumetric_rendering.py:241-252,
+    including its use of the *unnormalized* x in the theta term)."""
+    normalized = normalize_vecs(xyz)
+    phi = jnp.arccos(normalized[:, -1])
+    theta = jnp.arccos(xyz[:, 0] / jnp.sqrt(1.0 - xyz[:, -1] * 2.0))
+    return phi[:, None], theta[:, None]
+
+
 def distance2depth(distance: jax.Array, rays_d_cam: jax.Array) -> jax.Array:
     """Project ray-distance to camera-z depth: depth = d * dir_z.
 

@@ -1,6 +1,7 @@
 """Training runtime: losses, jitted train step, schedules, Trainer shell."""
 
 from .losses import (
+    z_sampler,
     gan_g_loss,
     gan_d_loss,
     photometric_loss,
@@ -22,6 +23,7 @@ except ImportError:  # pragma: no cover
     Trainer = None
 
 __all__ = [
+    "z_sampler",
     "gan_g_loss",
     "gan_d_loss",
     "photometric_loss",

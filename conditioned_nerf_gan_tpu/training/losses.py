@@ -21,6 +21,15 @@ import jax
 import jax.numpy as jnp
 
 
+def z_sampler(key: jax.Array, shape, dist: str = "gaussian") -> jax.Array:
+    """Latent sampler for unconditional runs (reference utils.py:53-58)."""
+    if dist == "gaussian":
+        return jax.random.normal(key, shape)
+    if dist == "uniform":
+        return jax.random.uniform(key, shape) * 2.0 - 1.0
+    raise ValueError(f"Unknown z_dist {dist!r}")
+
+
 def gan_g_loss(fake_logits: jax.Array) -> jax.Array:
     """Non-saturating generator loss: softplus(-D(G(z)))."""
     return jax.nn.softplus(-fake_logits).mean()

@@ -31,6 +31,8 @@ def parse_args(argv=None):
     parser.add_argument("--num_frames", type=int, default=240)
     parser.add_argument("--fps", type=int, default=24)
     parser.add_argument("--pcl", action="store_true")
+    parser.add_argument("--pcl_masked", action="store_true",
+                        help="colored pcl from dataset views, masked by GT depth")
     parser.add_argument("--pcl_views", type=int, default=20)
     parser.add_argument("--voxel", action="store_true")
     parser.add_argument("--cube_size", type=float, default=1.2)
@@ -81,6 +83,8 @@ def main(argv=None):
                 inferencer.render_video(idx, opt.num_frames, opt.fps)
         if opt.pcl:
             inferencer.render_pcl(0, opt.pcl_views)
+        if opt.pcl_masked:
+            inferencer.render_pcl_masked(0, opt.pcl_views)
         if opt.voxel:
             inferencer.save_voxel(0, opt.cube_size, opt.voxel_resolution)
         if opt.metrics:
