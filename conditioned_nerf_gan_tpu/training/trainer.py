@@ -220,7 +220,15 @@ class Trainer:
             self.generator, self.encoder, self.discriminator,
             self.metadata, self.step_config,
         )
-        if len(self.mesh.devices.flat) > 1:
+        # the data axis must divide the per-process batch; trim the mesh to
+        # the largest usable device count (e.g. batch 4 on an 8-device host)
+        devices = list(self.mesh.devices.flat)
+        n_dev = len(devices)
+        while n_dev > 1 and self.metadata["batch_size"] % n_dev != 0:
+            n_dev -= 1
+        if n_dev != len(devices):
+            self.mesh = make_mesh(devices[:n_dev])
+        if n_dev > 1:
             self._step_fn = compile_train_step(step_fn, self.mesh)
             self.state = replicate(self.state, self.mesh)
         else:
