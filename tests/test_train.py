@@ -1,5 +1,7 @@
 """Training-layer tests: train step, schedules, checkpoints, multi-device."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -143,3 +145,29 @@ def test_multichip_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_ensure_devices_bootstrap():
+    """Driver scenario: no XLA_FLAGS, platform env hijacked, backend already
+    initialized with 1 device — _ensure_devices must still yield 8 devices."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    code = (
+        "import jax\n"
+        "jax.device_count()\n"  # initialize the backend first, worst case
+        "import __graft_entry__ as g\n"
+        "g._ensure_devices(8)\n"
+        "assert jax.device_count() >= 8, jax.device_count()\n"
+        "assert jax.devices()[0].platform == 'cpu'\n"
+        "print('bootstrap-ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=Path(__file__).resolve().parent.parent,
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "bootstrap-ok" in out.stdout
