@@ -176,7 +176,7 @@ class Inferencer:
             batch["voxel"] = jnp.zeros((B, R, R, R, meta["unet"]["in_channels"]))
         template = jax.jit(
             lambda k, b: create_train_state(
-                k, meta, self.generator, self.encoder, discriminator, b, cfg
+                k, self.generator, self.encoder, discriminator, b, cfg
             )
         )(jax.random.PRNGKey(0), batch)
         state, _ = restore_checkpoint(self.checkpoint_path, template)

@@ -49,7 +49,17 @@ from .losses import (
 
 @dataclasses.dataclass(frozen=True)
 class TrainStepConfig:
-    """Static (shape/control-flow affecting) per-stage options."""
+    """Static per-stage options baked into the compiled train step.
+
+    Everything that changes the compiled computation lives here — shapes
+    (via RenderConfig), control flow, loss weights, AND optimizer
+    hyperparameters (lrs/betas/weight_decay are compile-time constants in
+    the jitted update). The trainer compares configs across curriculum
+    milestones to decide when to recompile, so the dataclass being frozen
+    and == -comparable is load-bearing: the reference re-applies *every*
+    metadata field each step (train.py:82-88, utils.py:503-544), and any
+    field changing at a milestone must trigger a rebuild here.
+    """
 
     render: RenderConfig
     batch_split: int = 1
@@ -69,6 +79,19 @@ class TrainStepConfig:
     cam_r_end: float = 1.5
     up_direction: str = "y"
     remat: bool = True
+    # optimizer hyperparameters (reference utils.py:503-524 re-applies these
+    # per step; here they recompile the step, which happens only at milestones)
+    gen_lr: float = 2e-4
+    disc_lr: float = 2e-4
+    enc_lr: float = 2e-4
+    betas: tuple = (0.0, 0.9)
+    weight_decay: float = 0.0
+    # pi-GAN's mapping-network stabilization trick: the SIREN mapping net
+    # trains at gen_lr * mapping_lr_mult. The reference keeps the logic at
+    # utils.py:507-509 but ships optimizer_G with a single anonymous param
+    # group (utils.py:328-332) so it never fires there; we make it a real,
+    # curriculum-controlled knob (metadata key "mapping_lr_mult").
+    mapping_lr_mult: float = 5e-2
 
     @classmethod
     def from_metadata(cls, metadata: dict, **overrides) -> "TrainStepConfig":
@@ -90,6 +113,12 @@ class TrainStepConfig:
             z_reg_weight=metadata.get("z_reg_weight", 0.0),
             cam_r_start=metadata.get("cam_r_start", 0.7),
             cam_r_end=metadata.get("cam_r_end", 1.5),
+            gen_lr=metadata["gen_lr"],
+            disc_lr=metadata.get("disc_lr", metadata["gen_lr"]),
+            enc_lr=metadata.get("enc_lr", metadata["gen_lr"]),
+            betas=tuple(metadata.get("betas", (0.0, 0.9))),
+            weight_decay=metadata.get("weight_decay", 0.0),
+            mapping_lr_mult=metadata.get("mapping_lr_mult", 5e-2),
         )
         kwargs.update(overrides)
         return cls(**kwargs)
@@ -105,21 +134,53 @@ class TrainState(struct.PyTreeNode):
     opt_D: Any
 
 
+def mapping_network_mask(params) -> Any:
+    """Bool pytree: True on every leaf under a 'mapping_network' module."""
+    def in_mapping(path, _):
+        return any(str(getattr(k, "key", k)) == "mapping_network" for k in path)
+
+    return jax.tree_util.tree_map_with_path(in_mapping, params)
+
+
 def make_optimizer(lr: float, betas=(0.0, 0.9), weight_decay: float = 0.0,
-                   grad_clip: float = 1.0) -> optax.GradientTransformation:
-    """clip_by_global_norm → Adam, matching torch clip_grad_norm_ + Adam
-    (utils.py:328-332, 726-741)."""
-    adam = (
-        optax.adamw(lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
-        if weight_decay
-        else optax.adam(lr, b1=betas[0], b2=betas[1])
+                   grad_clip: float = 1.0, lr_mult_mask=None,
+                   lr_mult: float = 1.0) -> optax.GradientTransformation:
+    """clip_by_global_norm → (coupled L2) → Adam, matching torch
+    clip_grad_norm_ + torch.optim.Adam (utils.py:328-332, 726-741).
+
+    torch Adam's weight_decay is *coupled*: wd·param is added to the gradient
+    before the Adam moments (not AdamW's decoupled decay), so it goes through
+    add_decayed_weights ahead of scale_by_adam. `lr_mult_mask` applies
+    `lr_mult` to the masked leaves (the pi-GAN mapping-network trick,
+    reference utils.py:507-509).
+    """
+    txs = [optax.clip_by_global_norm(grad_clip)]
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
+    if lr_mult_mask is not None:
+        txs.append(optax.masked(optax.scale(lr_mult), lr_mult_mask))
+    txs.append(optax.scale(-lr))
+    return optax.chain(*txs)
+
+
+def _make_txs(config: "TrainStepConfig"):
+    """The three optimizer chains (G with the mapping-net lr mask, E, D)."""
+    tx_G = make_optimizer(
+        config.gen_lr, config.betas, config.weight_decay, config.grad_clip,
+        lr_mult_mask=mapping_network_mask, lr_mult=config.mapping_lr_mult,
     )
-    return optax.chain(optax.clip_by_global_norm(grad_clip), adam)
+    tx_E = make_optimizer(
+        config.enc_lr, config.betas, config.weight_decay, config.grad_clip,
+    )
+    tx_D = make_optimizer(
+        config.disc_lr, config.betas, config.weight_decay, config.grad_clip,
+    )
+    return tx_G, tx_E, tx_D
 
 
 def create_train_state(
     rng: jax.Array,
-    metadata: dict,
     generator,
     encoder,
     discriminator,
@@ -146,6 +207,7 @@ def create_train_state(
             z = jnp.zeros(enc_out.shape, enc_out.dtype)
 
     params_G = generator.init(k_g, z, cams, config.render)
+    tx_G, tx_E, tx_D = _make_txs(config)
 
     params_D = None
     opt_D = None
@@ -155,19 +217,10 @@ def create_train_state(
         )
         cond = img if config.cond_mode else None
         params_D = discriminator.init(k_d, img, 1.0, cond=cond)
-        opt_D = make_optimizer(
-            metadata["disc_lr"], metadata.get("betas", (0.0, 0.9)),
-            metadata.get("weight_decay", 0.0), config.grad_clip,
-        ).init(params_D)
+        opt_D = tx_D.init(params_D)
 
-    opt_G = make_optimizer(
-        metadata["gen_lr"], metadata.get("betas", (0.0, 0.9)),
-        metadata.get("weight_decay", 0.0), config.grad_clip,
-    ).init(params_G)
-    opt_E = make_optimizer(
-        metadata["enc_lr"], metadata.get("betas", (0.0, 0.9)),
-        metadata.get("weight_decay", 0.0), config.grad_clip,
-    ).init(params_E)
+    opt_G = tx_G.init(params_G)
+    opt_E = tx_E.init(params_E)
 
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -180,18 +233,11 @@ def make_train_step(
     generator,
     encoder,
     discriminator,
-    metadata: dict,
     config: TrainStepConfig,
 ) -> Callable:
     """Build the per-stage train step. Compile with jit (see parallel.mesh)."""
 
-    tx_G = make_optimizer(metadata["gen_lr"], metadata.get("betas", (0.0, 0.9)),
-                          metadata.get("weight_decay", 0.0), config.grad_clip)
-    tx_E = make_optimizer(metadata["enc_lr"], metadata.get("betas", (0.0, 0.9)),
-                          metadata.get("weight_decay", 0.0), config.grad_clip)
-    tx_D = make_optimizer(metadata.get("disc_lr", 0.0),
-                          metadata.get("betas", (0.0, 0.9)),
-                          metadata.get("weight_decay", 0.0), config.grad_clip)
+    tx_G, tx_E, tx_D = _make_txs(config)
 
     def encode(params_E, chunk, key, with_noise: bool):
         """Encoder forward → (z, z_reg). Mirrors utils.py:644-654/:776-786."""

@@ -172,7 +172,7 @@ class Trainer:
         key = jax.random.PRNGKey(getattr(self.args, "seed", 0))
         self.state = jax.jit(
             lambda k, b: create_train_state(
-                k, self.metadata, self.generator, self.encoder,
+                k, self.generator, self.encoder,
                 self.discriminator, b, self.step_config,
             )
         )(key, sample_batch)
@@ -217,8 +217,7 @@ class Trainer:
     def _rebuild_step_fn(self) -> None:
         self.step_config = TrainStepConfig.from_metadata(self.metadata)
         step_fn = make_train_step(
-            self.generator, self.encoder, self.discriminator,
-            self.metadata, self.step_config,
+            self.generator, self.encoder, self.discriminator, self.step_config,
         )
         # the data axis must divide the per-process batch; trim the mesh to
         # the largest usable device count (e.g. batch 4 on an 8-device host)
@@ -235,12 +234,20 @@ class Trainer:
             self._step_fn = jax.jit(step_fn, donate_argnums=(0,))
 
     def update_metadata(self) -> bool:
-        """Refresh per-step hyperparameters; True if the stage changed
-        (utils.py:526-544)."""
+        """Refresh per-step hyperparameters; True if anything baked into the
+        compiled step (or the dataloader) changed.
+
+        The reference re-applies every metadata field each step
+        (train.py:82-88, utils.py:503-544), so a milestone that changes only
+        num_steps / z_reg_weight / lr must take effect immediately. Here all
+        such fields live in the frozen, comparable TrainStepConfig — comparing
+        whole configs (not just batch/img size) is what makes e.g. the
+        thousand curriculum's step-25000 num_steps 48→64 transition fire.
+        """
         new_meta = extract_metadata(self.curriculum, self.step)
         changed = (
             new_meta["batch_size"] != self.metadata["batch_size"]
-            or new_meta["img_size"] != self.metadata["img_size"]
+            or TrainStepConfig.from_metadata(new_meta) != self.step_config
         )
         self.metadata = new_meta
         return changed
@@ -316,7 +323,11 @@ class Trainer:
     def train(self) -> None:
         self.write_train_settings()
         dataloader = self._make_dataloader()
-        rng = jax.random.PRNGKey(1000 + self.process_index)
+        # One identical key on every process: the rng input is declared
+        # replicated in the jitted step's shardings, and SPMD replication
+        # requires replicated inputs to be bitwise equal across processes.
+        # Per-sample divergence comes from batch-shaped draws inside the step.
+        rng = jax.random.PRNGKey(1000 + getattr(self.args, "seed", 0))
         steps_elapsed = 0.0
 
         for _ in range(self.args.n_epochs):

@@ -63,3 +63,46 @@ def test_trainer_end_to_end(train_env, monkeypatch):
     n_before = len(trainer2.histories["photometry_losses"])
     trainer2.train()
     assert len(trainer2.histories["photometry_losses"]) > n_before
+
+
+def test_num_steps_only_stage_transition(train_env, monkeypatch):
+    """A milestone that changes only num_steps / z_reg_weight (no batch or
+    img change — the reference thousand curriculum's step-25000 stage) must
+    rebuild the compiled step: reference train.py:84-88 + utils.py:526-544
+    apply every metadata field per step."""
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+    import importlib
+
+    import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
+
+    importlib.reload(smoke)
+
+    import copy
+
+    from conditioned_nerf_gan_tpu.config import curriculum_to_json, load_curriculum
+    from conditioned_nerf_gan_tpu.training import Trainer
+
+    curriculum = copy.deepcopy(load_curriculum(config_base="smoke"))
+    stage0 = curriculum.pop(0)
+    for k in (60, 120):
+        curriculum.pop(k, None)
+    stage1 = dict(stage0, num_steps=stage0["num_steps"] + 4, z_reg_weight=5e-4)
+    assert stage1["img_size"] == stage0["img_size"]
+    assert stage1["batch_size"] == stage0["batch_size"]
+    curriculum[0] = stage0
+    curriculum[3] = stage1
+
+    out = root / "run_numsteps"
+    out.mkdir()
+    curriculum_to_json(curriculum, out / "curriculum.json")
+
+    trainer = Trainer(_args(out, stop_step=5, sampling_interval=1000))
+    trainer.load_models()
+    assert trainer.step_config.render.num_steps == stage0["num_steps"]
+    assert trainer.step_config.z_reg_weight == stage0["z_reg_weight"]
+    trainer.train()
+    # after crossing step 3 the compiled config must carry the new values
+    assert trainer.step_config.render.num_steps == stage1["num_steps"]
+    assert trainer.step_config.z_reg_weight == 5e-4
+    assert trainer.metadata["num_steps"] == stage1["num_steps"]
