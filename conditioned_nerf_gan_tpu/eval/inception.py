@@ -210,13 +210,14 @@ def get_inception(seed: int = 0):
 
     weights_path = os.environ.get("CNG_INCEPTION_WEIGHTS")
     if weights_path and os.path.exists(weights_path):
-        flat = dict(np.load(weights_path))
-        loaded = jax.tree_util.tree_map_with_path(
-            lambda path, leaf: jnp.asarray(
-                flat["/".join(str(p.key) for p in path)]
-            ) if "/".join(str(p.key) for p in path) in flat else leaf,
-            params,
+        from .weights import load_flat_weights
+
+        params = load_flat_weights(
+            params, dict(np.load(weights_path)), name="CNG_INCEPTION_WEIGHTS"
         )
-        params = loaded
+    else:
+        from .weights import warn_random_init
+
+        warn_random_init("CNG_INCEPTION_WEIGHTS", "InceptionV3 (FID/oFID)")
     _cached["model"] = (model, params)
     return model, params

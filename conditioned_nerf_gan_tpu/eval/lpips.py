@@ -66,12 +66,9 @@ class LPIPS(nn.Module):
         fb = net(norm_b)
         total = 0.0
         for i, (xa, xb) in enumerate(zip(fa, fb)):
-            xa = xa / jnp.maximum(
-                jnp.linalg.norm(xa, axis=-1, keepdims=True), 1e-10
-            )
-            xb = xb / jnp.maximum(
-                jnp.linalg.norm(xb, axis=-1, keepdims=True), 1e-10
-            )
+            # lpips.normalize_tensor: x / (||x||₂ + 1e-10), channel-wise
+            xa = xa / (jnp.linalg.norm(xa, axis=-1, keepdims=True) + 1e-10)
+            xb = xb / (jnp.linalg.norm(xb, axis=-1, keepdims=True) + 1e-10)
             diff = (xa - xb) ** 2
             w = self.param(
                 f"lin{i}",
@@ -93,12 +90,14 @@ def get_lpips(seed: int = 0):
     params = jax.jit(model.init)(jax.random.PRNGKey(seed), dummy, dummy)
     weights_path = os.environ.get("CNG_LPIPS_WEIGHTS")
     if weights_path and os.path.exists(weights_path):
-        flat = dict(np.load(weights_path))
-        params = jax.tree_util.tree_map_with_path(
-            lambda path, leaf: jnp.asarray(
-                flat["/".join(str(p.key) for p in path)]
-            ) if "/".join(str(p.key) for p in path) in flat else leaf,
-            params,
+        from .weights import load_flat_weights
+
+        params = load_flat_weights(
+            params, dict(np.load(weights_path)), name="CNG_LPIPS_WEIGHTS"
         )
+    else:
+        from .weights import warn_random_init
+
+        warn_random_init("CNG_LPIPS_WEIGHTS", "LPIPS (AlexNet)")
     _cached["model"] = (model, params)
     return model, params

@@ -1,0 +1,367 @@
+"""Golden parity tests for the ported metric nets (InceptionV3, LPIPS).
+
+The pytorch_fid / lpips pip packages are not installed here, so the oracles
+are compact torch replicas of their exact architectures (pytorch_fid's
+FID-InceptionV3 with count_include_pad=False avg pools and a max pool in
+Mixed_7c; lpips.LPIPS(net='alex')) with state_dict keys matching those
+packages' naming. Randomly-initialized state dicts suffice to prove the
+tools/port_metric_weights.py conversion + the Flax forward reproduce torch:
+when real pretrained checkpoints are converted, features (and hence
+FID/oFID/LPIPS) carry over.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from conditioned_nerf_gan_tpu.eval.inception import InceptionV3Features
+from conditioned_nerf_gan_tpu.eval.lpips import LPIPS
+from conditioned_nerf_gan_tpu.eval.weights import load_flat_weights
+from conditioned_nerf_gan_tpu.tools.port_metric_weights import (
+    convert_inception,
+    convert_lpips,
+)
+
+# ---------------------------------------------------------------------------
+# torch oracle: pytorch_fid's InceptionV3 (torchvision naming)
+# ---------------------------------------------------------------------------
+
+
+class TBasicConv2d(tnn.Module):
+    def __init__(self, i, o, **kw):
+        super().__init__()
+        self.conv = tnn.Conv2d(i, o, bias=False, **kw)
+        self.bn = tnn.BatchNorm2d(o, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+def _avg(x):  # pytorch_fid's FIDInception* avg pool
+    return F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+
+
+class TInceptionA(tnn.Module):
+    def __init__(self, i, pool_features):
+        super().__init__()
+        self.branch1x1 = TBasicConv2d(i, 64, kernel_size=1)
+        self.branch5x5_1 = TBasicConv2d(i, 48, kernel_size=1)
+        self.branch5x5_2 = TBasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = TBasicConv2d(i, 64, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = TBasicConv2d(i, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        b3 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        return torch.cat(
+            [self.branch1x1(x), self.branch5x5_2(self.branch5x5_1(x)), b3,
+             self.branch_pool(_avg(x))], 1,
+        )
+
+
+class TInceptionB(tnn.Module):
+    def __init__(self, i):
+        super().__init__()
+        self.branch3x3 = TBasicConv2d(i, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = TBasicConv2d(i, 64, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        return torch.cat([self.branch3x3(x), b, F.max_pool2d(x, 3, 2)], 1)
+
+
+class TInceptionC(tnn.Module):
+    def __init__(self, i, c7):
+        super().__init__()
+        self.branch1x1 = TBasicConv2d(i, 192, kernel_size=1)
+        self.branch7x7_1 = TBasicConv2d(i, c7, kernel_size=1)
+        self.branch7x7_2 = TBasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = TBasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = TBasicConv2d(i, c7, kernel_size=1)
+        self.branch7x7dbl_2 = TBasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = TBasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = TBasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = TBasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = TBasicConv2d(i, 192, kernel_size=1)
+
+    def forward(self, x):
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        return torch.cat(
+            [self.branch1x1(x), b7, bd, self.branch_pool(_avg(x))], 1
+        )
+
+
+class TInceptionD(tnn.Module):
+    def __init__(self, i):
+        super().__init__()
+        self.branch3x3_1 = TBasicConv2d(i, 192, kernel_size=1)
+        self.branch3x3_2 = TBasicConv2d(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = TBasicConv2d(i, 192, kernel_size=1)
+        self.branch7x7x3_2 = TBasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = TBasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = TBasicConv2d(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+            self.branch7x7x3_1(x))))
+        return torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
+
+
+class TInceptionE(tnn.Module):
+    def __init__(self, i, pool="avg"):
+        super().__init__()
+        self.pool = pool
+        self.branch1x1 = TBasicConv2d(i, 320, kernel_size=1)
+        self.branch3x3_1 = TBasicConv2d(i, 384, kernel_size=1)
+        self.branch3x3_2a = TBasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = TBasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = TBasicConv2d(i, 448, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv2d(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = TBasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = TBasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = TBasicConv2d(i, 192, kernel_size=1)
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        if self.pool == "max":  # pytorch_fid's FIDInceptionE_2
+            bp = F.max_pool2d(x, 3, stride=1, padding=1)
+        else:
+            bp = _avg(x)
+        return torch.cat([self.branch1x1(x), b3, bd, self.branch_pool(bp)], 1)
+
+
+class TFIDInceptionV3(tnn.Module):
+    """pytorch_fid-equivalent InceptionV3; returns (feat768, feat2048)."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = TBasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = TBasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = TBasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = TBasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = TBasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = TInceptionA(192, 32)
+        self.Mixed_5c = TInceptionA(256, 64)
+        self.Mixed_5d = TInceptionA(288, 64)
+        self.Mixed_6a = TInceptionB(288)
+        self.Mixed_6b = TInceptionC(768, 128)
+        self.Mixed_6c = TInceptionC(768, 160)
+        self.Mixed_6d = TInceptionC(768, 160)
+        self.Mixed_6e = TInceptionC(768, 192)
+        self.Mixed_7a = TInceptionD(768)
+        self.Mixed_7b = TInceptionE(1280)
+        self.Mixed_7c = TInceptionE(2048, pool="max")
+
+    def forward(self, x):
+        x = F.interpolate(x, size=(299, 299), mode="bilinear",
+                          align_corners=False)
+        x = x * 2 - 1
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, 2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, 2)
+        for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
+                     "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+            x = getattr(self, name)(x)
+        f768 = x
+        x = self.Mixed_7a(x)
+        x = self.Mixed_7b(x)
+        x = self.Mixed_7c(x)
+        f2048 = F.adaptive_avg_pool2d(x, 1).flatten(1)
+        return f768, f2048
+
+
+def _randomize_bn_stats(module, rng):
+    """Non-trivial running stats + affine so the BN fold is actually tested."""
+    for m in module.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            c = m.num_features
+            m.running_mean.copy_(torch.tensor(rng.normal(0, 0.1, c), dtype=torch.float32))
+            m.running_var.copy_(torch.tensor(rng.uniform(0.5, 1.5, c), dtype=torch.float32))
+            m.weight.data.copy_(torch.tensor(rng.uniform(0.5, 1.5, c), dtype=torch.float32))
+            m.bias.data.copy_(torch.tensor(rng.normal(0, 0.1, c), dtype=torch.float32))
+
+
+def test_inception_port_matches_torch():
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    oracle = TFIDInceptionV3().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(oracle, rng)
+
+    flat = convert_inception(oracle.state_dict())
+    model = InceptionV3Features()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    params = load_flat_weights(params, flat, name="test")
+
+    imgs = rng.uniform(0, 1, (2, 299, 299, 3)).astype(np.float32)
+    with torch.no_grad():
+        t768, t2048 = oracle(torch.tensor(imgs).permute(0, 3, 1, 2))
+    j768, j2048 = jax.jit(model.apply)(params, jnp.asarray(imgs))
+
+    np.testing.assert_allclose(
+        np.asarray(j768), t768.permute(0, 2, 3, 1).numpy(), atol=2e-3
+    )
+    np.testing.assert_allclose(np.asarray(j2048), t2048.numpy(), atol=2e-3)
+
+
+def test_inception_port_resize_path():
+    """Same parity through the 128²→299² resize (the FID eval protocol)."""
+    torch.manual_seed(1)
+    rng = np.random.default_rng(1)
+    oracle = TFIDInceptionV3().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(oracle, rng)
+    flat = convert_inception(oracle.state_dict())
+    model = InceptionV3Features()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    params = load_flat_weights(params, flat, name="test")
+
+    imgs = rng.uniform(0, 1, (2, 128, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        _, t2048 = oracle(torch.tensor(imgs).permute(0, 3, 1, 2))
+    _, j2048 = jax.jit(model.apply)(params, jnp.asarray(imgs))
+    np.testing.assert_allclose(np.asarray(j2048), t2048.numpy(), atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# torch oracle: lpips.LPIPS(net='alex') (lpips package naming)
+# ---------------------------------------------------------------------------
+
+
+class TLPIPSAlex(tnn.Module):
+    """Replicates lpips.LPIPS(net='alex', spatial=False) with its key names."""
+
+    def __init__(self):
+        super().__init__()
+        specs = [(3, 64, 11, 4, 2), (64, 192, 5, 1, 2), (192, 384, 3, 1, 1),
+                 (384, 256, 3, 1, 1), (256, 256, 3, 1, 1)]
+        # lpips.pretrained_networks.alexnet keeps torchvision feature indices
+        slice_content = [  # (slice_name, [(idx, module)...])
+            ("slice1", [(0, "conv"), (1, "relu")]),
+            ("slice2", [(2, "pool"), (3, "conv"), (4, "relu")]),
+            ("slice3", [(5, "pool"), (6, "conv"), (7, "relu")]),
+            ("slice4", [(8, "conv"), (9, "relu")]),
+            ("slice5", [(10, "conv"), (11, "relu")]),
+        ]
+        net = tnn.Module()
+        conv_i = 0
+        for sname, mods in slice_content:
+            seq = tnn.Sequential()
+            for idx, kind in mods:
+                if kind == "conv":
+                    i, o, k, s, p = specs[conv_i]
+                    seq.add_module(str(idx), tnn.Conv2d(i, o, k, s, p))
+                    conv_i += 1
+                elif kind == "relu":
+                    seq.add_module(str(idx), tnn.ReLU())
+                else:
+                    seq.add_module(str(idx), tnn.MaxPool2d(3, 2))
+            setattr(net, sname, seq)
+        self.net = net
+        for i, (_, o, *_rest) in enumerate(specs):
+            lin = tnn.Module()
+            lin.model = tnn.Sequential(
+                tnn.Dropout(), tnn.Conv2d(o, 1, 1, bias=False)
+            )
+            setattr(self, f"lin{i}", lin)
+        self.register_buffer(
+            "shift", torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        )
+        self.register_buffer(
+            "scale", torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+        )
+
+    def state_dict(self):  # inject the lpips scaling-layer buffer names
+        sd = {k: v for k, v in super().state_dict().items()
+              if k not in ("shift", "scale")}
+        sd["scaling_layer.shift"] = self.shift
+        sd["scaling_layer.scale"] = self.scale
+        return sd
+
+    def forward(self, a, b):
+        feats = []
+        for x in (a, b):
+            x = (x - self.shift) / self.scale
+            fs = []
+            for s in ("slice1", "slice2", "slice3", "slice4", "slice5"):
+                x = getattr(self.net, s)(x)
+                fs.append(x)
+            feats.append(fs)
+        total = 0
+        for i, (fa, fb) in enumerate(zip(*feats)):
+            na = fa / (fa.square().sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = fb / (fb.square().sum(1, keepdim=True).sqrt() + 1e-10)
+            d = getattr(self, f"lin{i}").model[1]((na - nb) ** 2)
+            total = total + d.mean([2, 3], keepdim=True)
+        return total.flatten()
+
+
+def test_lpips_port_matches_torch():
+    torch.manual_seed(0)
+    oracle = TLPIPSAlex().eval()
+    # lpips lin heads are non-negative in the shipped weights; keep that true
+    with torch.no_grad():
+        for i in range(5):
+            lin = getattr(oracle, f"lin{i}").model[1]
+            lin.weight.abs_()
+
+    flat = convert_lpips(oracle.state_dict())
+    model = LPIPS()
+    dummy = jnp.zeros((1, 64, 64, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
+    params = load_flat_weights(params, flat, name="test")
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-1, 1, (3, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (3, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        expected = oracle(
+            torch.tensor(a).permute(0, 3, 1, 2), torch.tensor(b).permute(0, 3, 1, 2)
+        ).numpy()
+    got = np.asarray(jax.jit(model.apply)(params, jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_npz_roundtrip(tmp_path):
+    """The converter's CLI artifact loads through the env-var path."""
+    torch.manual_seed(2)
+    oracle = TLPIPSAlex().eval()
+    flat = convert_lpips(oracle.state_dict())
+    path = tmp_path / "lpips.npz"
+    np.savez(path, **flat)
+
+    import os
+
+    import conditioned_nerf_gan_tpu.eval.lpips as lpips_mod
+
+    old_cache = dict(lpips_mod._cached)
+    lpips_mod._cached.clear()
+    os.environ["CNG_LPIPS_WEIGHTS"] = str(path)
+    try:
+        model, params = lpips_mod.get_lpips()
+        leaf = params["params"]["alex"]["conv0_kernel"]
+        np.testing.assert_allclose(
+            np.asarray(leaf), flat["params/alex/conv0_kernel"], atol=0
+        )
+    finally:
+        del os.environ["CNG_LPIPS_WEIGHTS"]
+        lpips_mod._cached.clear()
+        lpips_mod._cached.update(old_cache)
