@@ -75,11 +75,15 @@ int DecodePng(const char* path, Image* img) {
   std::vector<uint8_t> idat;
   size_t pos = 8;
   int color_type = -1;
-  while (pos + 8 <= data.size()) {
-    uint32_t len = ReadBE32(&data[pos]);
+  while (pos + 12 <= data.size()) {
+    const uint32_t len = ReadBE32(&data[pos]);
+    // the chunk length is file-controlled: payload + 4-byte CRC must fit
+    // inside the buffer before anything dereferences it
+    if (len > data.size() - pos - 12) return kErrFormat;
     const char* type = reinterpret_cast<const char*>(&data[pos + 4]);
     const uint8_t* payload = &data[pos + 8];
     if (memcmp(type, "IHDR", 4) == 0) {
+      if (len < 13) return kErrFormat;
       img->width = ReadBE32(payload);
       img->height = ReadBE32(payload + 4);
       img->bit_depth = payload[8];
@@ -90,14 +94,20 @@ int DecodePng(const char* path, Image* img) {
       else if (color_type == 6) img->channels = 4;
       else return kErrUnsupported;
       if (img->bit_depth != 8 && img->bit_depth != 16) return kErrUnsupported;
+      // dataset images are ≤ a few k²; reject absurd dims before the
+      // (stride+1)*height allocation can be attacker-sized
+      if (img->width <= 0 || img->height <= 0 || img->width > (1 << 16) ||
+          img->height > (1 << 16))
+        return kErrFormat;
     } else if (memcmp(type, "IDAT", 4) == 0) {
+      if (color_type < 0) return kErrFormat;  // IDAT before IHDR
       idat.insert(idat.end(), payload, payload + len);
     } else if (memcmp(type, "IEND", 4) == 0) {
       break;
     }
-    pos += 12 + len;
+    pos += 12 + size_t(len);
   }
-  if (img->width <= 0 || idat.empty()) return kErrFormat;
+  if (img->width <= 0 || img->height <= 0 || idat.empty()) return kErrFormat;
 
   const int bytes_per_px = img->channels * img->bit_depth / 8;
   const size_t stride = size_t(img->width) * bytes_per_px;
@@ -105,6 +115,9 @@ int DecodePng(const char* path, Image* img) {
   uLongf raw_len = raw.size();
   if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK)
     return kErrInflate;
+  // a truncated-but-valid deflate stream inflates short: the unfilter pass
+  // would read uninitialized scanlines
+  if (raw_len != raw.size()) return kErrFormat;
 
   // undo per-scanline filters
   img->pixels.resize(stride * img->height);

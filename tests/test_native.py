@@ -81,3 +81,54 @@ def test_bad_file_error(tmp_path):
         native.read_png16(bad, 32)
     with pytest.raises(RuntimeError):
         native.read_png16(tmp_path / "missing.png", 32)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_corrupt_png_rejected(png_files, tmp_path):
+    """File-controlled chunk lengths / truncations must error, not read OOB."""
+    import struct
+
+    paths, _ = png_files
+    good = paths[0].read_bytes()
+
+    def expect_error(data, name):
+        p = tmp_path / f"{name}.png"
+        p.write_bytes(data)
+        with pytest.raises(RuntimeError):
+            native.read_png16(p, 32)
+
+    # 1. truncated mid-chunk (IDAT length field points past EOF)
+    expect_error(good[: len(good) // 2], "truncated")
+    # 2. IHDR length lies (shorter than the 13 bytes the parser reads)
+    lying = bytearray(good)
+    lying[8:12] = struct.pack(">I", 4)  # IHDR len 13 → 4
+    expect_error(bytes(lying), "short_ihdr")
+    # 3. first chunk length enormous (payload would run off the buffer)
+    huge = bytearray(good)
+    huge[8:12] = struct.pack(">I", 0x7FFFFFFF)
+    expect_error(bytes(huge), "huge_len")
+    # 4. absurd dimensions (allocation bomb)
+    bomb = bytearray(good)
+    bomb[16:20] = struct.pack(">I", 0x40000000)  # width
+    expect_error(bytes(bomb), "dim_bomb")
+    # 5. truncated IDAT *stream* (valid zlib prefix, inflates short)
+    import zlib
+
+    # rebuild a png whose IDAT decompresses to fewer bytes than W*H needs
+    w = h = 8
+    ihdr = struct.pack(">II5B", w, h, 16, 2, 0, 0, 0)
+    short_raw = bytes((1 + w * 6) * (h // 2))  # only half the scanlines
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(short_raw))
+        + chunk(b"IEND", b"")
+    )
+    expect_error(data, "short_stream")
