@@ -27,6 +27,43 @@ BATCH = 2
 Z_DIM = 512
 HIDDEN = 256
 
+# Per-chip peak matmul throughput (bf16 FLOP/s) by device kind. The render's
+# matmuls run at the TPU default precision (bf16 passes), so bf16 peak is the
+# right MFU denominator.
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+}
+
+
+def analytic_flops_per_render() -> float:
+    """Matmul FLOPs of one eval-protocol render (the MXU work; sin/integration
+    are VPU-bound and conventionally excluded from MFU).
+
+    SHORTSIREN point MLP (models/siren.py spec, hidden 256): per point,
+    3→256 (xyz in), 3× 256→256 FiLM trunk, 256→4 head. Hierarchical render
+    evaluates B·img²·num_steps coarse + as many fine points. The per-batch
+    mapping network (z 512 → 3×256 hidden → 2048 freq/phase) is ~1.6 MFLOP
+    per image — 6 orders below the point path — and is ignored.
+    """
+    per_point = 2 * (3 * HIDDEN + 3 * HIDDEN * HIDDEN + HIDDEN * 4)
+    points = BATCH * IMG_SIZE * IMG_SIZE * NUM_STEPS * 2
+    return float(per_point) * points
+
+
+def peak_flops() -> float | None:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    # longest-prefix match so "TPU v5 lite" doesn't fall into "TPU v5"
+    best = None
+    for name, peak in _PEAK_BF16.items():
+        if kind.startswith(name) and (best is None or len(name) > len(best[0])):
+            best = (name, peak)
+    return best[1] if best else None
+
 
 def measure_tpu() -> float:
     """On-device throughput: renders chained inside one jitted fori_loop.
@@ -128,12 +165,23 @@ def main() -> None:
 
     ref = baseline.get("torch_cpu_rays_per_sec")
     vs_baseline = round(value / ref, 2) if ref else 1.0
-    print(json.dumps({
+
+    # MFU: analytic matmul FLOPs per render / wall time, over bf16 peak —
+    # an absolute "is it fast" signal next to the relative rays/s ratio.
+    rays_per_render = BATCH * IMG_SIZE * IMG_SIZE
+    renders_per_sec = value / rays_per_render
+    achieved = analytic_flops_per_render() * renders_per_sec
+    peak = peak_flops()
+    result = {
         "metric": "render_rays_per_sec_128",
         "value": round(value, 1),
         "unit": "rays/s/chip",
         "vs_baseline": vs_baseline,
-    }))
+        "tflops_per_sec": round(achieved / 1e12, 2),
+    }
+    if peak:
+        result["mfu"] = round(achieved / peak, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

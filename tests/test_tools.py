@@ -103,3 +103,52 @@ def test_converters_roundtrip(tmp_path):
     assert "element vertex 10" in ply.read_text()
     sub = subsample_pcl(npy, 4)
     assert np.load(sub).shape == (4, 6)
+
+
+def test_blender_project_backprojection(dataset_root):
+    from conditioned_nerf_gan_tpu.tools.blender.project import (
+        backproject_points,
+        check_backprojection,
+    )
+
+    car = sorted(p for p in dataset_root.iterdir() if p.is_dir())[0]
+    pts, colors = backproject_points(car, 0)
+    assert pts.shape[1] == 3 and colors.shape == (pts.shape[0], 3)
+    assert (colors >= 0).all() and (colors <= 1).all()
+    # pose self-check: backprojection lands near the GT point cloud
+    d = check_backprojection(car, views=3)
+    assert d < 0.05, f"camera convention mismatch: chamfer {d}"
+
+
+def test_write_pcl_color_tool(dataset_root, capsys):
+    from conditioned_nerf_gan_tpu.tools.write_pcl_color import build_pcl_color, main
+
+    car = sorted(p for p in dataset_root.iterdir() if p.is_dir())[0]
+    out = build_pcl_color(car, num_views=3, pcl_size=512, img_size=32,
+                          overwrite=True)
+    pcl = np.load(out)
+    assert pcl.shape == (512, 6) and pcl.dtype == np.float32
+    # xyz near the object, colors in [0,1]
+    assert np.abs(pcl[:, :3]).max() < 2.0
+    assert pcl[:, 3:].min() >= 0 and pcl[:, 3:].max() <= 1
+    # CLI skips existing files (no --overwrite)
+    rc = main([str(dataset_root), "--lists", "twenty", "-v", "3", "-n", "512",
+               "-s", "32"])
+    assert rc == 0
+
+
+def test_blender_draw_outputs(dataset_root, tmp_path):
+    from conditioned_nerf_gan_tpu.tools.blender.draw import (
+        show_img_in_grid,
+        show_train_test_cam_dist,
+    )
+
+    cars = sorted(p for p in dataset_root.iterdir() if p.is_dir())
+    out1 = show_train_test_cam_dist(
+        cars[0] / "cameras.npz", cars[1] / "cameras.npz",
+        out_path=tmp_path / "cams.png",
+    )
+    assert out1.exists() and out1.stat().st_size > 0
+    out2 = show_img_in_grid(cars[0] / "image", nrows=1,
+                            out_path=tmp_path / "grid.png")
+    assert out2.exists() and out2.stat().st_size > 0
