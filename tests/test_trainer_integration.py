@@ -65,6 +65,53 @@ def test_trainer_end_to_end(train_env, monkeypatch):
     assert len(trainer2.histories["photometry_losses"]) > n_before
 
 
+def test_multiprocess_fid_shards_partition(train_env, monkeypatch, tmp_path):
+    """Two processes' FID image dumps partition the fidset exactly (the
+    reference's DistributedSampler sharding, fid_evaluation.py:103-116), and
+    only process 0 computes metrics."""
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+    monkeypatch.setenv("CNG_EVAL_IMAGES", str(tmp_path / "EvalImages"))
+    import importlib
+
+    import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
+
+    importlib.reload(smoke)
+
+    from conditioned_nerf_gan_tpu.eval.fid_evaluation import (
+        evaluate_trainer,
+        output_images,
+    )
+    from conditioned_nerf_gan_tpu.training import Trainer
+
+    out = root / "run_fid_shards"
+    trainer = Trainer(_args(out))
+    trainer.load_models()
+    meta = trainer._eval_metadata()
+
+    shard0 = tmp_path / "shard0"
+    shard1 = tmp_path / "shard1"
+    output_images(trainer, meta, shard0, process_index=0, process_count=2)
+    output_images(trainer, meta, shard1, process_index=1, process_count=2)
+    names0 = {p.name for p in shard0.iterdir()}
+    names1 = {p.name for p in shard1.iterdir()}
+    assert names0 and names1
+    assert not names0 & names1, "shards overlap"
+
+    expected = set()
+    for i in range(len(trainer.fidset)):
+        from pathlib import Path as _P
+
+        parts = _P(trainer.fidset[i]["img_path"]).parts
+        expected.add(f"{parts[-3]}_{parts[-1]}")
+    assert names0 | names1 == expected, "shards do not cover the fidset"
+
+    # non-main processes render their shard but return no metrics
+    trainer.process_index, trainer.process_count = 1, 2
+    trainer.is_main = False
+    assert evaluate_trainer(trainer, meta) is None
+
+
 def test_num_steps_only_stage_transition(train_env, monkeypatch):
     """A milestone that changes only num_steps / z_reg_weight (no batch or
     img change — the reference thousand curriculum's step-25000 stage) must
