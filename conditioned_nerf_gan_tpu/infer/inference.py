@@ -152,6 +152,7 @@ class Inferencer:
             output_dim=gen_meta.get("output_dim", 4),
             hidden_dim=gen_meta.get("hidden_dim", 256),
             use_fast_sin=meta.get("use_fast_sin", False),
+            use_pallas=meta.get("use_pallas", False),
         )
         ds = meta["dataset"]
         if ds["load_voxel"]:

@@ -83,6 +83,7 @@ class ImplicitGenerator3d(nn.Module):
     mapping_network: str = "CustomMappingNetwork"
     compute_dtype: Any = None  # bf16 SIREN matmul policy (fp32 params/sin)
     use_fast_sin: bool = False  # polynomial sin (ops/fastmath.py, ~3e-6 err)
+    use_pallas: bool = False  # fused FiLM-SIREN point-eval kernel
 
     def setup(self):
         self.siren = make_siren(
@@ -95,6 +96,7 @@ class ImplicitGenerator3d(nn.Module):
             mapping_network=self.mapping_network,
             compute_dtype=self.compute_dtype,
             use_fast_sin=self.use_fast_sin,
+            use_pallas=self.use_pallas,
         )
 
     def eval_points(self, points: jax.Array, z: Any) -> jax.Array:

@@ -143,6 +143,7 @@ class ConditionedSiren(nn.Module):
     mapping_network: str = "CustomMappingNetwork"  # for spec.mapping='selectable'
     compute_dtype: jnp.dtype | None = None  # bf16 matmuls w/ fp32 sin epilogue
     use_fast_sin: bool = False  # range-reduced polynomial sin (ops/fastmath.py)
+    use_pallas: bool = False  # fused point-eval kernel (ops/pallas/film_siren)
 
     @nn.compact
     def __call__(self, points, z, deterministic: bool = True):
@@ -200,6 +201,34 @@ class ConditionedSiren(nn.Module):
                 raise ValueError(spec.mapping)
             freq, phase = mapping(src)
             freq = freq * 15.0 + 30.0
+
+        # ---- fused point-eval kernel (ops/pallas/film_siren.py) ---------
+        # All-film stacks route through the Pallas kernel at apply time; the
+        # layer-by-layer path below still CREATES the params (so the tree and
+        # golden param names are identical) and serves init/off-TPU/autodiff.
+        if (
+            self.use_pallas
+            and not self.is_initializing()
+            and all(k == "film" for k in spec.layers)
+            and freq is not None
+            and freq.ndim == 2
+            and self.drop_out == 0
+        ):
+            from ..ops.pallas.film_siren import film_siren_mlp
+
+            p = self.variables["params"]
+            lins = [p[f"FiLMLayer_{i}"]["TorchLinear_0"]
+                    for i in range(len(spec.layers))]
+            rgb_sigma = film_siren_mlp(
+                x, freq, phase,
+                lins[0]["kernel"], lins[0]["bias"],
+                jnp.stack([l["kernel"] for l in lins[1:]]),
+                jnp.stack([l["bias"] for l in lins[1:]]),
+                p["final_layer"]["kernel"], p["final_layer"]["bias"],
+            )
+            if spec.output == "sigmoid_rgb":
+                rgb_sigma = sigmoid_rgb(rgb_sigma)
+            return rgb_sigma
 
         # ---- layer stack ------------------------------------------------
         finit = frequency_init(spec.freq_init)
@@ -368,6 +397,7 @@ def make_siren(
     mapping_network: str = "CustomMappingNetwork",
     compute_dtype=None,
     use_fast_sin: bool = False,
+    use_pallas: bool = False,
     **_unused,
 ) -> nn.Module:
     """Build a SIREN variant by reference class name (generators.py:15)."""
@@ -383,6 +413,7 @@ def make_siren(
             drop_out=drop_out,
             mapping_network=mapping_network,
             compute_dtype=compute_dtype,
+            use_pallas=use_pallas,
             use_fast_sin=use_fast_sin,
         )
     if siren_type == "SPATIALSIRENBASELINE":

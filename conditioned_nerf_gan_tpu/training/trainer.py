@@ -141,6 +141,7 @@ class Trainer:
             hidden_dim=gen_meta.get("hidden_dim", 256),
             drop_out=gen_meta.get("drop_out", 0),
             use_fast_sin=self.metadata.get("use_fast_sin", False),
+            use_pallas=self.metadata.get("use_pallas", False),
         )
         ds = self.metadata["dataset"]
         if ds["load_voxel"]:

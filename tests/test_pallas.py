@@ -89,3 +89,44 @@ def test_fused_vjp_matches_reference_grad():
     g1 = jax.jit(jax.grad(loss_fused))(inp["w0"])
     g2 = jax.jit(jax.grad(loss_ref))(inp["w0"])
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_interpret_mode_matches_reference():
+    """The real kernel path (fold + dual-tile interleave) in interpret mode."""
+    from conditioned_nerf_gan_tpu.ops.fastmath import fast_sin
+    from conditioned_nerf_gan_tpu.ops.pallas.film_siren import _forward_pallas
+
+    # (a) structural correctness at low freq (≈1): SIREN's ~freq× per-layer
+    # error amplification is gone, so indexing/layout bugs would show as
+    # O(1) errors while legitimate reassociation stays ~1e-6
+    inp = _inputs(B=2, N=96, H=32, L=4)  # N not a block multiple → padding
+    low = dict(inp, freq=inp["freq"] / 30.0)
+    ref = jax.jit(film_siren_mlp_reference)(**low)
+    out = _forward_pallas(*low.values(), tile=32, matmul_dtype=jnp.float32,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # (b) realistic freqs (30-45): fold reassociation + fast_sin err are both
+    # amplified ~freq× per layer — bounded at the 1e-3 scale, far below the
+    # bf16-matmul policy the render actually uses
+    ref = jax.jit(film_siren_mlp_reference)(**inp)
+    out = _forward_pallas(*inp.values(), tile=32, matmul_dtype=jnp.float32,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_film_fold_algebra():
+    """sin(f⊙(xW+b)+φ) == sin(x(W·diag(f)) + (f⊙b+φ)) for every layer."""
+    from conditioned_nerf_gan_tpu.ops.pallas.film_siren import _fold_film
+
+    inp = _inputs(B=3, N=8, H=16, L=3)
+    w0f, c0, wsf, cs = _fold_film(
+        inp["freq"], inp["phase"], inp["w0"], inp["b0"], inp["ws"], inp["bs"],
+        jnp.float32,
+    )
+    H = 16
+    x = inp["points"]
+    h_ref = jnp.einsum("bnd,dh->bnh", x, inp["w0"]) + inp["b0"]
+    h_ref = inp["freq"][:, None, :H] * h_ref + inp["phase"][:, None, :H]
+    h_fold = jnp.einsum("bnd,bdh->bnh", x, w0f) + c0[:, None]
+    np.testing.assert_allclose(np.asarray(h_fold), np.asarray(h_ref), atol=1e-5)
