@@ -9,22 +9,35 @@ import os
 
 from .default import upsample_step
 
+# batch_split / ray_chunks are the TPU memory knobs, measured on a v5e-1
+# (16 GB HBM): the reference's batch_split 2/6/6/6 was tuned for an A40 and
+# costs 3.6 s/step at stage 2; batch_split 2 + rematerialized ray_chunks 8
+# runs 2.2 s/step and fits 16 GB (unchunked split=1 would need ~67 GB).
+# grad_accum_scale pins the *effective* gradient to the reference's
+# batch_split × mean semantics so the tuned lrs keep their meaning.
 special = {
     upsample_step[0]: {
         "batch_size": 24,
-        "batch_split": 2,
+        "batch_split": 1,
+        "grad_accum_scale": 2,
     },
     upsample_step[1]: {
         "batch_size": 12,
-        "batch_split": 6,
+        "batch_split": 1,
+        "ray_chunks": 4,
+        "grad_accum_scale": 6,
     },
     upsample_step[2]: {
         "batch_size": 12,
-        "batch_split": 6,
+        "batch_split": 2,
+        "ray_chunks": 8,
+        "grad_accum_scale": 6,
     },
     upsample_step[3]: {
         "batch_size": 12,
-        "batch_split": 6,
+        "batch_split": 2,
+        "ray_chunks": 8,
+        "grad_accum_scale": 6,
         "num_steps": 48,
     },
     "num_workers": 8,

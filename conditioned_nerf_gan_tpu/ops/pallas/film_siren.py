@@ -8,19 +8,27 @@ points per image through an L-layer FiLM-SIREN —
 with per-batch-element freq/phase vectors (reference generators/siren.py:146-160
 applied in the stacks at :1210-1224 etc.).
 
-Design (v2). The eval is VPU-bound, not MXU-bound: per point the matmuls are
-~0.4 MFLOP (≈2 ns at peak) but the 4×256 polynomial sins cost ~2× that on the
-VPU, so a straightforward fused kernel ties XLA at ~20% MFU. Two kernel-level
-moves attack the VPU bound:
+Design (v2) and measured verdict (v5e-1, 1.57M points × SHORTSIREN 4×256,
+bf16 matmuls + fast_sin, /tmp-protocol mirrored in BASELINE.md):
 
-  1. **FiLM folding**: sin(f⊙(xW+b)+φ) = sin(x(W·diag(f)) + (f⊙b+φ)). The
-     per-batch-element freq is folded into per-element weight copies once per
-     render (B·L·H² fp32→bf16 scaling, ~3 MFLOP — 6 orders below the point
-     path), removing one VPU multiply + add per activation from the hot loop.
-  2. **Dual-tile MXU/VPU overlap**: each grid cell processes two independent
-     point tiles with textually interleaved layer chains, so tile B's matmul
-     issues to the (asynchronous) MXU while tile A's sin runs on the VPU —
-     the two units overlap instead of serializing per layer.
+    XLA fused module stack   12.1 ms   (52 TF/s, 26% peak)
+    this kernel (v2)         13.9 ms   (45 TF/s)
+    matmul-only bound         8.1 ms   (77 TF/s)
+    sin+affine-only bound     5.0 ms
+
+The eval is jointly MXU/VPU-bound: the full pipeline costs ≈ matmul + sin
+with near-zero overlap under BOTH compilers. v2 attacks that two ways —
+(1) **FiLM folding**: sin(f⊙(xW+b)+φ) = sin(x(W·diag(f)) + (f⊙b+φ)), folding
+freq into per-batch-element bf16 weight copies (removes a VPU mul+add per
+activation); (2) **dual-tile interleave**: each grid cell runs two
+independent point tiles with textually interleaved layer chains hoping
+Mosaic schedules tile B's matmul under tile A's sin. Measured: neither moves
+the needle (the fold is <1% on the XLA path too; Mosaic does not in fact
+overlap the interleaved chains), so the XLA path — which already fuses the
+affine+sin epilogue into one VPU pass — stays the default and `use_pallas`
+is an off-by-default flag. A future Mosaic with async matmul primitives (or
+explicit MXU queue control) could close the ~1.5× gap to the matmul bound;
+until then this kernel documents the attempt and the bound.
 
 Weights stay VMEM-resident ((H,H) per layer per batch element), each point
 tile is loaded once, and only the 8-channel padded output is written back.
@@ -82,7 +90,7 @@ def _kernel(points_ref, w0f_ref, c0_ref, wsf_ref, cs_ref, wf_ref, bf_ref,
             out_ref, *, num_layers: int, tile: int, matmul_dtype):
     x = points_ref[...].astype(matmul_dtype)  # (2*tile, Din)
     w0 = w0f_ref[0]
-    c0 = c0_ref[0]
+    c0 = c0_ref[0, 0]
     wf = wf_ref[...]
     bf = bf_ref[0]
 
@@ -143,7 +151,9 @@ def _forward_pallas(points, freq, phase, w0, b0, ws, bs, wf, bf,
             # per-batch-element folded weights: resident per grid row
             pl.BlockSpec((1, din, H), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda b, i: (b, 0),
+            # (B, 1, H) so the trailing block tile (1, H) matches the
+            # array dims (TPU lowering constraint on the last two dims)
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L - 1, H, H), lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -163,7 +173,7 @@ def _forward_pallas(points, freq, phase, w0, b0, ws, bs, wf, bf,
             bytes_accessed=B * Np * (din + _OUT_PAD) * 4,
             transcendentals=B * Np * H * L,
         ),
-    )(pts2, w0f, c0, wsf, cs, wf_p, bf_p)
+    )(pts2, w0f, c0[:, None], wsf, cs, wf_p, bf_p)
 
     out = out.reshape(B, Np, _OUT_PAD)[:, :N, :C]
     return out

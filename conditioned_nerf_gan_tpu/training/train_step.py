@@ -79,6 +79,13 @@ class TrainStepConfig:
     cam_r_end: float = 1.5
     up_direction: str = "y"
     remat: bool = True
+    # Effective G/E gradient = grad_accum_scale × full-batch mean. The
+    # reference's accumulation sums per-split means (utils.py:642-711), so
+    # its effective gradient is batch_split × mean — i.e. its tuned lrs bake
+    # in the split factor. Decoupling lets presets pick batch_split for
+    # memory/perf while keeping the reference's training dynamics
+    # (default None → batch_split, exactly the reference semantics).
+    grad_accum_scale: float | None = None
     # optimizer hyperparameters (reference utils.py:503-524 re-applies these
     # per step; here they recompile the step, which happens only at milestones)
     gen_lr: float = 2e-4
@@ -113,6 +120,7 @@ class TrainStepConfig:
             z_reg_weight=metadata.get("z_reg_weight", 0.0),
             cam_r_start=metadata.get("cam_r_start", 0.7),
             cam_r_end=metadata.get("cam_r_end", 1.5),
+            grad_accum_scale=metadata.get("grad_accum_scale"),
             gen_lr=metadata["gen_lr"],
             disc_lr=metadata.get("disc_lr", metadata["gen_lr"]),
             enc_lr=metadata.get("enc_lr", metadata["gen_lr"]),
@@ -370,6 +378,17 @@ def make_train_step(
         )
         # reference reports per-split means averaged over splits
         metrics = jax.tree.map(lambda m: m / config.batch_split, metrics)
+
+        # grads now hold batch_split × full-batch-mean; rescale to the
+        # configured effective gradient (see grad_accum_scale above)
+        scale = (
+            config.grad_accum_scale
+            if config.grad_accum_scale is not None else config.batch_split
+        )
+        if scale != config.batch_split:
+            grads = jax.tree.map(
+                lambda g: g * (scale / config.batch_split), grads
+            )
 
         grads_G, grads_E = grads
         upd_G, opt_G = tx_G.update(grads_G, state.opt_G, state.params_G)

@@ -20,8 +20,10 @@ from conditioned_nerf_gan_tpu.config.presets import resolve_siren_alias
 def test_load_thousand_special_overlay():
     cur = load_curriculum(config_base="thousand")
     meta0 = extract_metadata(cur, 0)
-    # special.py overrides default.py batch sizes (special.py:12-30)
-    assert meta0["batch_size"] == 24 and meta0["batch_split"] == 2
+    # special.py overrides default.py batch sizes (special.py:12-30).
+    # batch_split is the TPU memory knob (measured per-stage); dynamics
+    # parity with the reference's split 2/6/6/6 is held by grad_accum_scale.
+    assert meta0["batch_size"] == 24 and meta0["grad_accum_scale"] == 2
     assert meta0["img_size"] == 32 and meta0["num_steps"] == 48
     assert meta0["generator"]["siren_type"] == "SHORTSIREN"
     assert meta0["photo_loss"] is True
@@ -29,8 +31,10 @@ def test_load_thousand_special_overlay():
 
     meta1 = extract_metadata(cur, 7000)
     assert meta1["img_size"] == 64 and meta1["batch_size"] == 12
+    assert meta1["grad_accum_scale"] == 6
     meta3 = extract_metadata(cur, 30000)
     assert meta3["img_size"] == 128 and meta3["num_steps"] == 48  # special overrides 64
+    assert meta3["ray_chunks"] == 8 and meta3["batch_size"] % meta3["batch_split"] == 0
 
 
 def test_experiment_config_overlay():

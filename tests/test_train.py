@@ -107,6 +107,40 @@ def test_r1_penalty_positive_and_differentiable():
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
 
 
+def test_grad_accum_scale():
+    """grad_accum_scale pins the effective gradient independent of the
+    batch_split memory knob (reference semantics: batch_split × mean)."""
+    import dataclasses
+
+    gen, enc, disc, cfg, batch = tiny_setup(batch_split=1, enable_disc=False)
+    cfg1 = dataclasses.replace(cfg, grad_clip=1e9)  # keep clipping inactive
+    cfg6 = dataclasses.replace(cfg1, grad_accum_scale=6.0)
+    key = jax.random.PRNGKey(3)
+    state = jax.jit(lambda k, b: create_train_state(k, gen, enc, None, b, cfg1))(
+        key, batch
+    )
+    s1, _ = jax.jit(make_train_step(gen, enc, None, cfg1))(
+        state, batch, key, jnp.float32(1.0), jnp.float32(0.0)
+    )
+    s6, _ = jax.jit(make_train_step(gen, enc, None, cfg6))(
+        state, batch, key, jnp.float32(1.0), jnp.float32(0.0)
+    )
+    # Adam's update is scale-invariant, so check the accumulated first
+    # moment: identical computation with the gradient scaled exactly 6×
+    mu1 = jax.tree.leaves(s1.opt_G)
+    mu6 = jax.tree.leaves(s6.opt_G)
+    checked = 0
+    for a, b in zip(mu1, mu6):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        if a.ndim >= 1 and np.abs(a).max() > 1e-12:
+            mask = np.abs(a) > 1e-10
+            ratios = b[mask] / a[mask]
+            if ratios.size and (np.allclose(ratios, 6.0, rtol=1e-4)
+                                or np.allclose(ratios, 36.0, rtol=1e-4)):
+                checked += 1
+    assert checked > 0, "no optimizer moment scaled by grad_accum_scale"
+
+
 def test_mapping_network_lr_multiplier():
     """pi-GAN trick: mapping-network params update at gen_lr * 5e-2
     (reference utils.py:507-509). After one Adam step on all-ones grads the
