@@ -398,6 +398,12 @@ class Trainer:
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def _record(self, metrics: dict) -> None:
+        # z_reg progress print every 100 steps (reference utils.py:696-698)
+        if (
+            self.is_main and "z_reg" in metrics
+            and self.metadata["dataset"]["load_pcl"] and self.step % 100 == 0
+        ):
+            print("z_reg: ", metrics["z_reg"], flush=True)
         if "d_loss" in metrics:
             self.histories["discriminator_losses"].append(metrics["d_loss"])
         if self.metadata["enable_discriminator"]:
