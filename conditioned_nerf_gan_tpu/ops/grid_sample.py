@@ -7,22 +7,117 @@ generators/siren.py:305-311 (and 10 more identical sites), plus the
 (siren.py:1328-1348).
 
 TPU-first notes: volumes are stored channel-last (B, D, H, W, C) — NDHWC is
-the native TPU conv/gather layout — and the 8-corner interpolation is
-expressed as flat gathers over a (B, D*H*W, C) view so XLA emits a single
-fused gather per corner. Coordinates follow the PyTorch grid convention:
-last-dim (x, y, z) indexes (W, H, D) respectively.
+the native TPU conv/gather layout. TPU gathers are latency-bound per index
+and per *discontiguous segment*, not bandwidth-bound: measured on v5e-1 at
+1.57M points from a 64³×32ch volume —
+    8 per-corner row gathers          154 ms   (the torch-translation shape)
+    1 gather of (2,2,2,C) blocks       77 ms   (4 segments/point)
+    1 gather, (z,y)-neighbors in C     62 ms   (1 segment/point — ceiling)
+Beyond one segment the engine floors at ~40 ns/point, so the border-mode hot
+path uses the neighbor-expanded layout for volumes that fit the 4× transient
+memory and the block gather above that; the zeros-mode (used only by the
+legacy `sample_from_3dgrid` variant) keeps the per-corner masked
+formulation. Coordinates follow the PyTorch grid convention: last-dim
+(x, y, z) indexes (W, H, D) respectively.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def _unnormalize(coord: jax.Array, size: int, align_corners: bool) -> jax.Array:
     if align_corners:
         return (coord + 1.0) / 2.0 * (size - 1)
     return ((coord + 1.0) * size - 1.0) / 2.0
+
+
+# Volumes up to this many elements use the neighbor-expanded layout (4×
+# memory, single-segment gathers); larger ones use (2,2,2,C) block gathers.
+_EXPAND_MAX_ELEMS = 16 * 1024 * 1024
+
+
+def _anchor_fractions(fx, fy, fz, D, H, W):
+    """Clamped block anchors (≤ size-2) + fractions in [0, 1] (border mode)."""
+    fx = jnp.clip(fx, 0.0, W - 1)
+    fy = jnp.clip(fy, 0.0, H - 1)
+    fz = jnp.clip(fz, 0.0, D - 1)
+    ix = jnp.minimum(jnp.floor(fx).astype(jnp.int32), W - 2)
+    iy = jnp.minimum(jnp.floor(fy).astype(jnp.int32), H - 2)
+    iz = jnp.minimum(jnp.floor(fz).astype(jnp.int32), D - 2)
+    return ix, iy, iz, (fx - ix)[..., None], (fy - iy)[..., None], (fz - iz)[..., None]
+
+
+def _expanded_gather_border(volume: jax.Array, fx, fy, fz) -> jax.Array:
+    """Border-mode trilerp with all 8 corners in ONE contiguous gather.
+
+    The (z, y) neighbors are replicated into channels —
+    V4[z, y, x] = [V[z,y,x] | V[z,y+1,x] | V[z+1,y,x] | V[z+1,y+1,x]] —
+    so a point's full 2×2×2 corner block is the contiguous (2, 4C) row pair
+    (x, x+1): one gather segment per point instead of four. Measured
+    (v5e-1, 1.57M pts, 64³×32ch): 62.5 ms vs 77 ms block-gather vs 154 ms
+    per-corner rows — beyond one segment the gather engine is latency-bound
+    at ~40 ns/point (an x-replicated single-row 8C variant measures the
+    same), so this is the XLA ceiling. Costs 4× transient volume memory
+    (built per render with shifted concats, ~0.5 ms for 64³×32).
+    """
+    B, D, H, W, C = volume.shape
+    y_next = jnp.concatenate([volume[:, :, 1:], volume[:, :, -1:]], axis=2)
+    z_next = jnp.concatenate([volume[:, 1:], volume[:, -1:]], axis=1)
+    zy_next = jnp.concatenate([y_next[:, 1:], y_next[:, -1:]], axis=1)
+    v4 = jnp.concatenate([volume, y_next, z_next, zy_next], axis=-1)
+
+    ix, iy, iz, tx, ty, tz = _anchor_fractions(fx, fy, fz, D, H, W)
+    starts = jnp.stack([iz, iy, ix], axis=-1)  # (B, N, 3)
+
+    def per_b(vol_b, starts_b):
+        dnums = lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(),
+            start_index_map=(0, 1, 2),
+        )
+        return lax.gather(
+            vol_b, starts_b, dnums, slice_sizes=(1, 1, 2, 4 * C),
+            mode=lax.GatherScatterMode.CLIP,
+        )
+
+    blk = jax.vmap(per_b)(v4, starts)  # (B, N, 1, 1, 2, 4C)
+    N = blk.shape[1]
+    blk = blk.reshape(B, N, 2, 4, C)
+    gx = blk[:, :, 0] * (1 - tx[..., None]) + blk[:, :, 1] * tx[..., None]
+    gz0 = gx[:, :, 0] * (1 - ty) + gx[:, :, 1] * ty
+    gz1 = gx[:, :, 2] * (1 - ty) + gx[:, :, 3] * ty
+    return gz0 * (1 - tz) + gz1 * tz
+
+
+def _block_gather_border(volume: jax.Array, fx, fy, fz) -> jax.Array:
+    """Border-mode trilerp via one (2,2,2,C)-block gather per point.
+
+    Border clamping folds into the block form: with fx clipped to [0, W-1]
+    and the block anchor ix = min(floor(fx), W-2), the fraction
+    tx = fx - ix ∈ [0, 1] reproduces the torch result exactly — at the high
+    border (fx = W-1) the anchor shifts down one cell and tx = 1 selects the
+    border voxel, identical to torch's clipped x1 with tx = 0.
+    """
+    B, D, H, W, C = volume.shape
+    ix, iy, iz, tx, ty, tz = _anchor_fractions(fx, fy, fz, D, H, W)
+    starts = jnp.stack([iz, iy, ix], axis=-1)  # (B, N, 3)
+
+    def per_b(vol_b, starts_b):
+        dnums = lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(),
+            start_index_map=(0, 1, 2),
+        )
+        return lax.gather(
+            vol_b, starts_b, dnums, slice_sizes=(2, 2, 2, C),
+            mode=lax.GatherScatterMode.CLIP,
+        )
+
+    blk = jax.vmap(per_b)(volume, starts)  # (B, N, 2, 2, 2, C)
+    gx = blk[..., 0, :] * (1 - tx[:, :, None, None]) + blk[..., 1, :] * tx[:, :, None, None]
+    gy = gx[..., 0, :] * (1 - ty[:, :, None]) + gx[..., 1, :] * ty[:, :, None]
+    return gy[..., 0, :] * (1 - tz) + gy[..., 1, :] * tz
 
 
 def trilinear_point_features(
@@ -52,6 +147,10 @@ def trilinear_point_features(
     fz = _unnormalize(coords[..., 2].astype(dtype), D, align_corners)
 
     if padding_mode == "border":
+        if min(D, H, W) >= 2:
+            if D * H * W * C <= _EXPAND_MAX_ELEMS:
+                return _expanded_gather_border(volume, fx, fy, fz)
+            return _block_gather_border(volume, fx, fy, fz)
         fx = jnp.clip(fx, 0.0, W - 1)
         fy = jnp.clip(fy, 0.0, H - 1)
         fz = jnp.clip(fz, 0.0, D - 1)

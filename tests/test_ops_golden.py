@@ -225,3 +225,26 @@ def test_sample_pdf_det_concentrates_mass():
     samples = ops.sample_pdf(bins, weights, 16, det=True)
     s = np.asarray(samples)[:, 1:-1]  # endpoints may touch the bin edges
     assert (s >= 0.3 - 1e-4).all() and (s <= 0.4 + 1e-4).all()
+
+
+def test_gather_strategies_agree():
+    """Expanded-neighbor and block-gather border paths produce identical
+    results (strategy choice is a pure perf decision)."""
+    from conditioned_nerf_gan_tpu.ops.grid_sample import (
+        _block_gather_border,
+        _expanded_gather_border,
+        _unnormalize,
+    )
+
+    key = jax.random.PRNGKey(0)
+    vol = jax.random.normal(key, (2, 9, 7, 5, 6))
+    coords = jax.random.uniform(
+        jax.random.fold_in(key, 1), (2, 300, 3), minval=-1.3, maxval=1.3
+    )
+    D, H, W = 9, 7, 5
+    fx = _unnormalize(coords[..., 0], W, False)
+    fy = _unnormalize(coords[..., 1], H, False)
+    fz = _unnormalize(coords[..., 2], D, False)
+    a = _expanded_gather_border(vol, fx, fy, fz)
+    b = _block_gather_border(vol, fx, fy, fz)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
