@@ -98,12 +98,41 @@ def merge_sorted_samples(
     """
     all_outputs = jnp.concatenate([outputs_a, outputs_b], axis=-2)
     all_z = jnp.concatenate([z_a, z_b], axis=-2)
+    out_z, out = _cosort(all_z[..., 0], all_outputs)
+    return out, out_z[..., None]
 
-    channels = all_outputs.shape[-1]
-    operands = (all_z[..., 0],) + tuple(
-        all_outputs[..., c] for c in range(channels)
-    )
+
+@jax.custom_vjp
+def _cosort(z, outputs):
+    """Sort samples by depth, co-sorting the value channels.
+
+    Custom VJP: XLA differentiates `lax.sort` through a scatter, which is
+    latency-bound per element on TPU and costs ~450 ms per stage-2 G-step
+    backward (measured v5e-1, 18.9M samples). The inverse permutation is a
+    bijection, so the backward is expressed as a *gather* by the inverse
+    permutation (computed in the forward with one extra lane-axis sort).
+    """
+    return _cosort_fwd(z, outputs)[0]
+
+
+def _cosort_fwd(z, outputs):
+    channels = outputs.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, z.shape, z.ndim - 1)
+    operands = (z, iota) + tuple(outputs[..., c] for c in range(channels))
     sorted_ops = jax.lax.sort(operands, dimension=-1, num_keys=1, is_stable=True)
-    out_z = sorted_ops[0][..., None]
-    out = jnp.stack(sorted_ops[1:], axis=-1)
-    return out, out_z
+    z_s, perm = sorted_ops[0], sorted_ops[1]
+    out_s = jnp.stack(sorted_ops[2:], axis=-1)
+    # argsort of the permutation = one more lane-axis sort
+    _, inv_perm = jax.lax.sort((perm, iota), dimension=-1, num_keys=1,
+                               is_stable=True)
+    return (z_s, out_s), inv_perm
+
+
+def _cosort_bwd(inv_perm, cotangents):
+    gz, gout = cotangents
+    gz_in = jnp.take_along_axis(gz, inv_perm, axis=-1)
+    gout_in = jnp.take_along_axis(gout, inv_perm[..., None], axis=-2)
+    return gz_in, gout_in
+
+
+_cosort.defvjp(_cosort_fwd, _cosort_bwd)

@@ -248,3 +248,62 @@ def test_gather_strategies_agree():
     a = _expanded_gather_border(vol, fx, fy, fz)
     b = _block_gather_border(vol, fx, fy, fz)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_merge_custom_vjp_matches_autodiff():
+    """The gather-based merge backward equals XLA's native sort autodiff."""
+    from conditioned_nerf_gan_tpu.ops.sampling import merge_sorted_samples
+
+    key = jax.random.PRNGKey(0)
+    B, R, S, C = 2, 5, 8, 4
+    oa = jax.random.normal(key, (B, R, S, C))
+    ob = jax.random.normal(jax.random.fold_in(key, 1), (B, R, S, C))
+    za = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 2), (B, R, S, 1)), axis=-2)
+    zb = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 3), (B, R, S, 1)), axis=-2)
+
+    def loss_new(oa, ob):
+        out, out_z = merge_sorted_samples(oa, za, ob, zb)
+        return jnp.sum(out * jnp.cos(out_z))
+
+    def loss_ref(oa, ob):
+        allo = jnp.concatenate([oa, ob], axis=-2)
+        allz = jnp.concatenate([za, zb], axis=-2)
+        idx = jnp.argsort(allz[..., 0], axis=-1, stable=True)
+        out = jnp.take_along_axis(allo, idx[..., None], axis=-2)
+        out_z = jnp.take_along_axis(allz, idx[..., None], axis=-2)
+        return jnp.sum(out * jnp.cos(out_z))
+
+    va, (ga, gb) = jax.value_and_grad(loss_new, argnums=(0, 1))(oa, ob)
+    vr, (ra, rb) = jax.value_and_grad(loss_ref, argnums=(0, 1))(oa, ob)
+    np.testing.assert_allclose(float(va), float(vr), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=1e-6)
+
+
+def test_merge_z_gradient_roundtrip():
+    """z cotangents unsort correctly too (they flow into delta terms)."""
+    from conditioned_nerf_gan_tpu.ops.sampling import merge_sorted_samples
+
+    key = jax.random.PRNGKey(4)
+    B, R, S, C = 1, 3, 6, 2
+    oa = jax.random.normal(key, (B, R, S, C))
+    ob = jax.random.normal(jax.random.fold_in(key, 1), (B, R, S, C))
+    za = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 2), (B, R, S, 1)), axis=-2)
+    zb = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 3), (B, R, S, 1)), axis=-2)
+
+    def f(za_, zb_):
+        out, out_z = merge_sorted_samples(oa, za_, ob, zb_)
+        return jnp.sum(out_z ** 2 + out.sum(-1, keepdims=True) * out_z)
+
+    def f_ref(za_, zb_):
+        allo = jnp.concatenate([oa, ob], axis=-2)
+        allz = jnp.concatenate([za_, zb_], axis=-2)
+        idx = jnp.argsort(allz[..., 0], axis=-1, stable=True)
+        out = jnp.take_along_axis(allo, idx[..., None], axis=-2)
+        out_z = jnp.take_along_axis(allz, idx[..., None], axis=-2)
+        return jnp.sum(out_z ** 2 + out.sum(-1, keepdims=True) * out_z)
+
+    ga = jax.grad(f, argnums=(0, 1))(za, zb)
+    gr = jax.grad(f_ref, argnums=(0, 1))(za, zb)
+    for a, r in zip(ga, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-6)
