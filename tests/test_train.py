@@ -262,3 +262,46 @@ def test_ensure_devices_bootstrap():
     )
     assert out.returncode == 0, out.stderr
     assert "bootstrap-ok" in out.stdout
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_data_parallel_matches_single_device():
+    """One step on an 8-device data mesh == the same step on one device
+    (the psum-mean gradient reduction is exactly the full-batch gradient)."""
+    from conditioned_nerf_gan_tpu.parallel import (
+        compile_train_step,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+
+    gen, enc, disc, cfg, batch = tiny_setup(B=8)
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(lambda k, b: create_train_state(k, gen, enc, disc, b, cfg))(
+        key, batch
+    )
+    step = make_train_step(gen, enc, disc, cfg)
+    alpha, noise = jnp.float32(1.0), jnp.float32(0.0)
+
+    s_single, m_single = jax.jit(step)(state, batch, key, alpha, noise)
+
+    mesh = make_mesh(jax.devices()[:8])
+    st8 = replicate(state, mesh)
+    sharded = shard_batch(batch, mesh)
+    step8 = compile_train_step(step, mesh)
+    s_multi, m_multi = step8(
+        st8, sharded, replicate(key, mesh),
+        replicate(alpha, mesh), replicate(noise, mesh),
+    )
+
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_multi[k]), rtol=2e-4, atol=1e-5,
+            err_msg=f"metric {k} diverges across mesh sizes",
+        )
+    for a, b in zip(jax.tree.leaves(s_single.params_G),
+                    jax.tree.leaves(s_multi.params_G)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5,
+            err_msg="params_G diverge between 1-device and 8-device steps",
+        )
