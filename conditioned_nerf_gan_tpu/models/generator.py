@@ -175,6 +175,8 @@ class ImplicitGenerator3d(nn.Module):
         nerf_noise: jax.Array | float = 0.0,
         deterministic: bool = True,
         fov: jax.Array | float | None = None,
+        row_offset: jax.Array | int | None = None,
+        render_rows: int | None = None,
     ):
         """Render a batch of images.
 
@@ -187,12 +189,19 @@ class ImplicitGenerator3d(nn.Module):
                noise (None → deterministic rendering, matching eval overrides)
           nerf_noise: density-noise stddev (traced scalar ok)
           fov: optional traced fov override (orbit-video sweeps)
+          row_offset/render_rows: render only rows
+             [row_offset, row_offset+render_rows) of the img_size-tall pixel
+             grid (row_offset may be traced) — the ray-axis sharding hook
+             used by parallel/render.py to split one image over a mesh
         Returns:
-          pixels (B, H, W, 3) in [-1, 1]; depth (B, H, W) z-depth map.
+          pixels (B, H, W, 3) in [-1, 1]; depth (B, H, W) z-depth map
+          (H = render_rows when a row slab is requested).
         """
         B = cam2world.shape[0]
         S = config.num_steps
         W = H = config.img_size
+        if render_rows is not None:
+            H = render_rows
         use_noise = rng is not None
 
         if rng is None:
@@ -203,6 +212,7 @@ class ImplicitGenerator3d(nn.Module):
         points, z_vals, rays_d_cam = get_initial_rays(
             B, S, config.fov if fov is None else fov, (W, H),
             config.ray_start, config.ray_end,
+            row_offset=row_offset, full_height=config.img_size,
         )
         if config.perturb and use_noise:
             points, z_vals = perturb_points(points, z_vals, rays_d_cam, key=k_perturb)

@@ -32,7 +32,8 @@ def normalize_vecs(v: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
     return v / norm
 
 
-def pixel_rays(fov, width: int, height: int, dtype=jnp.float32) -> jax.Array:
+def pixel_rays(fov, width: int, height: int, dtype=jnp.float32,
+               row_offset=None, full_height: int | None = None) -> jax.Array:
     """Per-pixel unit ray directions in camera space, shape (W*H, 3).
 
     Pixel (row j, col i) maps to flat index j*W + i with
@@ -40,9 +41,19 @@ def pixel_rays(fov, width: int, height: int, dtype=jnp.float32) -> jax.Array:
     (fov in degrees) — matching the meshgrid/transpose convention of the
     reference (volumetric_rendering.py:77-88). `fov` may be a traced scalar
     (per-frame fov sweeps, e.g. orbit videos, don't recompile).
+
+    `row_offset`/`full_height` render a horizontal slab of a larger image:
+    rows [row_offset, row_offset+height) of a full_height-tall pixel grid
+    (row_offset may be traced — this is how the ray axis shards over a
+    device mesh without per-device recompiles, parallel/render.py).
     """
     x = jnp.linspace(-1.0, 1.0, width, dtype=dtype)
-    y = jnp.linspace(-1.0, 1.0, height, dtype=dtype)
+    if row_offset is not None:
+        fh = full_height if full_height is not None else height
+        rows = row_offset + jnp.arange(height, dtype=dtype)
+        y = rows * (2.0 / (fh - 1)) - 1.0
+    else:
+        y = jnp.linspace(-1.0, 1.0, height, dtype=dtype)
     xx = jnp.tile(x[None, :], (height, 1)).reshape(-1)
     yy = jnp.tile(y[:, None], (1, width)).reshape(-1)
     z = jnp.broadcast_to(
@@ -59,6 +70,8 @@ def get_initial_rays(
     ray_start: float,
     ray_end: float,
     dtype=jnp.float32,
+    row_offset=None,
+    full_height: int | None = None,
 ):
     """Stratified sample points along each pixel ray in camera space.
 
@@ -68,7 +81,8 @@ def get_initial_rays(
       rays_d_cam: (B, W*H, 3)    unit ray directions in camera space
     """
     width, height = resolution
-    rays_d = pixel_rays(fov, width, height, dtype)  # (WH, 3)
+    rays_d = pixel_rays(fov, width, height, dtype,
+                        row_offset=row_offset, full_height=full_height)
     z_vals = jnp.linspace(ray_start, ray_end, num_steps, dtype=dtype)
     z_vals = jnp.broadcast_to(z_vals[None, :, None], (width * height, num_steps, 1))
     points = rays_d[:, None, :] * z_vals  # (WH, S, 3)

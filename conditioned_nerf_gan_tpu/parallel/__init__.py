@@ -1,5 +1,6 @@
 """Device-mesh parallelism (pjit + NamedSharding over ICI)."""
 
+from .render import render_ray_sharded
 from .mesh import (
     make_mesh,
     shard_batch,
@@ -14,4 +15,5 @@ __all__ = [
     "replicate",
     "compile_train_step",
     "data_sharding",
+    "render_ray_sharded",
 ]

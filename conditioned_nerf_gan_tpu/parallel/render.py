@@ -1,0 +1,67 @@
+"""Ray-axis sharded rendering (the context-parallel analogue).
+
+Training parallelism is batch-only (mesh.py) — matching the reference's DDP
+design point. Inference is different: a single high-resolution render has
+batch 1 but img_size² × num_steps × 2 sample points, so the profitable axis
+is the *ray* axis (SURVEY §5, "long-sequence analogue"). Here one image's
+pixel rows are split across the mesh with `shard_map`: every device holds the
+replicated params/conditioning, renders its horizontal slab via the
+generator's row_offset/render_rows hook (models/generator.py), and the
+sharded output rows concatenate into the full image — no collectives beyond
+the implicit all-gather of the output.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def render_ray_sharded(
+    generator,
+    params,
+    z,
+    cam2world,
+    config,
+    mesh: Mesh,
+    axis_name: str = "data",
+    *,
+    rng: jax.Array | None = None,
+    nerf_noise=0.0,
+    fov=None,
+):
+    """Render one batch of images with pixel rows sharded over the mesh.
+
+    Equivalent to `generator.apply(params, z, cam2world, config, ...)` but
+    each device computes img_size / n_devices rows. img_size must divide
+    evenly. With `rng`, per-slab noise keys are decorrelated by folding in
+    the device index (so the result differs from the single-device noisy
+    render; deterministic renders are bitwise-identical).
+    """
+    n = mesh.devices.size
+    H = config.img_size
+    if H % n != 0:
+        raise ValueError(f"img_size {H} must divide over {n} devices")
+    rows = H // n
+
+    def local(params, z, cams, key):
+        idx = jax.lax.axis_index(axis_name)
+        k = None if rng is None else jax.random.fold_in(key, idx)
+        px, depth = generator.apply(
+            params, z, cams, config, rng=k, nerf_noise=nerf_noise,
+            deterministic=True, fov=fov,
+            row_offset=idx * rows, render_rows=rows,
+        )
+        return px, depth
+
+    key = jax.random.PRNGKey(0) if rng is None else rng
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(None, axis_name), P(None, axis_name)),
+        check_vma=False,
+    )
+    repl = NamedSharding(mesh, P())
+    params, z, cam2world, key = jax.device_put((params, z, cam2world, key), repl)
+    return jax.jit(fn)(params, z, cam2world, key)

@@ -305,3 +305,24 @@ def test_data_parallel_matches_single_device():
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5,
             err_msg="params_G diverge between 1-device and 8-device steps",
         )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_ray_sharded_render_matches_single_device():
+    """Splitting one image's pixel rows over the mesh reproduces the
+    single-device render exactly (deterministic path)."""
+    from conditioned_nerf_gan_tpu.parallel import make_mesh, render_ray_sharded
+
+    gen, _, _, cfg, batch = tiny_setup(B=2)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+    cams = batch["cam2world"]
+    params = jax.jit(lambda k: gen.init(k, z, cams, cfg.render))(
+        jax.random.PRNGKey(0)
+    )
+    ref_px, ref_d = jax.jit(
+        lambda p, zz, cc: gen.apply(p, zz, cc, cfg.render, rng=None)
+    )(params, z, cams)
+    mesh = make_mesh(jax.devices()[:8])
+    px, d = render_ray_sharded(gen, params, z, cams, cfg.render, mesh)
+    np.testing.assert_allclose(np.asarray(px), np.asarray(ref_px), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-5)
