@@ -87,8 +87,12 @@ class Inferencer:
         ray_step_multiplier: int = 1,
         load_dataset: bool = True,
         seed: int = 0,
+        shard_rays: bool = False,
     ):
+        # shard_rays: split each render's pixel rows over all local devices
+        # (parallel/render.py) — profitable for big single-image renders
         self.checkpoint_path = Path(checkpoint_path)
+        self.shard_rays = shard_rays
         self.num_imgs = num_imgs
         self.image_size = image_size
         self.ray_step_multiplier = ray_step_multiplier
@@ -208,11 +212,23 @@ class Inferencer:
             meta["img_size"] = img_size
             meta["num_steps"] = num_steps
             cfg = RenderConfig.from_metadata(meta, perturb=False)
-            fn = jax.jit(
-                lambda p, z, c, fov: self.generator.apply(
-                    p, z, c, cfg, rng=None, fov=fov
+            if self.shard_rays and jax.device_count() > 1 and (
+                img_size % jax.device_count() == 0
+            ):
+                from ..parallel import make_mesh, render_ray_sharded
+
+                mesh = make_mesh()
+
+                def fn(p, z, c, fov, cfg=cfg, mesh=mesh):
+                    return render_ray_sharded(
+                        self.generator, p, z, c, cfg, mesh, fov=fov
+                    )
+            else:
+                fn = jax.jit(
+                    lambda p, z, c, fov: self.generator.apply(
+                        p, z, c, cfg, rng=None, fov=fov
+                    )
                 )
-            )
             self._render_cache[key] = fn
         return fn
 

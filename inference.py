@@ -39,6 +39,8 @@ def parse_args(argv=None):
     parser.add_argument("--voxel_resolution", type=int, default=48)
     parser.add_argument("--input_voxel_resolution", type=int, default=64)
     parser.add_argument("--metrics", action="store_true")
+    parser.add_argument("--shard_rays", action="store_true",
+                        help="split each render's pixel rows over all devices")
     parser.add_argument("--interpolate", action="store_true")
     parser.add_argument("--interpolate_src", type=str, default=None)
     parser.add_argument("--interpolate_tgt", type=str, default=None)
@@ -75,6 +77,7 @@ def main(argv=None):
             ray_step_multiplier=opt.ray_step_multiplier,
             load_dataset=load_dataset,
             seed=seed,
+            shard_rays=opt.shard_rays,
         )
         if opt.images:
             inferencer.render_imgs(opt.cam_fixed)
