@@ -65,6 +65,31 @@ def test_trainer_end_to_end(train_env, monkeypatch):
     assert len(trainer2.histories["photometry_losses"]) > n_before
 
 
+def test_trainer_voxel_conditioned(train_env, monkeypatch):
+    """The voxel-conditioned family end-to-end: 3D U-Net encoder → feature
+    volume + global feature → FG siren (trilinear gather in the train
+    loss path) → GAN step (smoke preset's `voxel` overlay)."""
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+    import importlib
+
+    import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
+
+    importlib.reload(smoke)
+
+    from conditioned_nerf_gan_tpu.training import Trainer
+
+    out = root / "run_voxel"
+    trainer = Trainer(_args(out, config="voxel", stop_step=2,
+                            sampling_interval=2))
+    trainer.load_models()
+    trainer.train()
+    assert trainer.histories["photometry_losses"], "no losses recorded"
+    assert all(np.isfinite(trainer.histories["photometry_losses"]))
+    assert list((out / "checkpoints").glob("*.ckpt"))
+    assert list((out / "samples" / "valview").glob("*.png"))
+
+
 def test_multiprocess_fid_shards_partition(train_env, monkeypatch, tmp_path):
     """Two processes' FID image dumps partition the fidset exactly (the
     reference's DistributedSampler sharding, fid_evaluation.py:103-116), and
