@@ -50,26 +50,27 @@ def _anchor_fractions(fx, fy, fz, D, H, W):
     return ix, iy, iz, (fx - ix)[..., None], (fy - iy)[..., None], (fz - iz)[..., None]
 
 
-def _expanded_gather_border(volume: jax.Array, fx, fy, fz) -> jax.Array:
-    """Border-mode trilerp with all 8 corners in ONE contiguous gather.
+def _gather_blocks(volume: jax.Array, ix, iy, iz) -> jax.Array:
+    """Fetch each point's 2×2×2 corner block in one contiguous gather.
 
     The (z, y) neighbors are replicated into channels —
     V4[z, y, x] = [V[z,y,x] | V[z,y+1,x] | V[z+1,y,x] | V[z+1,y+1,x]] —
-    so a point's full 2×2×2 corner block is the contiguous (2, 4C) row pair
-    (x, x+1): one gather segment per point instead of four. Measured
-    (v5e-1, 1.57M pts, 64³×32ch): 62.5 ms vs 77 ms block-gather vs 154 ms
-    per-corner rows — beyond one segment the gather engine is latency-bound
-    at ~40 ns/point (an x-replicated single-row 8C variant measures the
-    same), so this is the XLA ceiling. Costs 4× transient volume memory
-    (built per render with shifted concats, ~0.5 ms for 64³×32).
+    so the block is the contiguous (2, 4C) row pair (x, x+1): one gather
+    segment per point instead of four. Measured (v5e-1, 1.57M pts,
+    64³×32ch): 62.5 ms vs 77 ms block-gather vs 154 ms per-corner rows —
+    beyond one segment the gather engine is latency-bound at ~40 ns/point
+    (an x-replicated single-row 8C variant measures the same), so this is
+    the XLA ceiling. Costs 4× transient volume memory (shifted concats,
+    ~0.5 ms for 64³×32).
+
+    Returns blk (B, N, 2, 4, C): axis 2 = x corner, axis 3 = the zy corner
+    in order (z0y0, z0y1, z1y0, z1y1).
     """
     B, D, H, W, C = volume.shape
     y_next = jnp.concatenate([volume[:, :, 1:], volume[:, :, -1:]], axis=2)
     z_next = jnp.concatenate([volume[:, 1:], volume[:, -1:]], axis=1)
     zy_next = jnp.concatenate([y_next[:, 1:], y_next[:, -1:]], axis=1)
     v4 = jnp.concatenate([volume, y_next, z_next, zy_next], axis=-1)
-
-    ix, iy, iz, tx, ty, tz = _anchor_fractions(fx, fy, fz, D, H, W)
     starts = jnp.stack([iz, iy, ix], axis=-1)  # (B, N, 3)
 
     def per_b(vol_b, starts_b):
@@ -83,12 +84,119 @@ def _expanded_gather_border(volume: jax.Array, fx, fy, fz) -> jax.Array:
         )
 
     blk = jax.vmap(per_b)(v4, starts)  # (B, N, 1, 1, 2, 4C)
-    N = blk.shape[1]
-    blk = blk.reshape(B, N, 2, 4, C)
+    return blk.reshape(B, blk.shape[1], 2, 4, C)
+
+
+def _lerp_blocks(blk, tx, ty, tz):
     gx = blk[:, :, 0] * (1 - tx[..., None]) + blk[:, :, 1] * tx[..., None]
     gz0 = gx[:, :, 0] * (1 - ty) + gx[:, :, 1] * ty
     gz1 = gx[:, :, 2] * (1 - ty) + gx[:, :, 3] * ty
     return gz0 * (1 - tz) + gz1 * tz
+
+
+@jax.custom_vjp
+def _expanded_gather_border(volume: jax.Array, fx, fy, fz) -> jax.Array:
+    """Border-mode trilerp via single-segment block gathers (_gather_blocks).
+
+    Custom VJP: XLA's native backward for the gather is a scatter-add into
+    the volume — measured 8.4 s per 1.57M points on v5e-1 (~5 µs/point; TPUs
+    have no atomic scatter, so colliding updates serialize). The backward
+    here instead computes dV = Pᵀ·Q as dense one-hot-weighted *matmuls*
+    (MXU work, 2·N·D·H·W·C FLOPs ≈ 26 TFLOP at the 64³ stage shape — ~0.3 s
+    at bf16), with the one-hots factored as (z,y) rows × (x,channel)
+    columns and accumulated over point chunks in a scan.
+    """
+    B, D, H, W, C = volume.shape
+    ix, iy, iz, tx, ty, tz = _anchor_fractions(fx, fy, fz, D, H, W)
+    return _lerp_blocks(_gather_blocks(volume, ix, iy, iz), tx, ty, tz)
+
+
+def _expanded_fwd(volume, fx, fy, fz):
+    return _expanded_gather_border(volume, fx, fy, fz), (volume, fx, fy, fz)
+
+
+_DVOL_CHUNK = 8192  # points per transpose-matmul chunk (bounds P/Q size)
+
+
+def _expanded_bwd(res, g):
+    volume, fx, fy, fz = res
+    B, D, H, W, C = volume.shape
+    N = fx.shape[1]
+    ix, iy, iz, tx, ty, tz = _anchor_fractions(fx, fy, fz, D, H, W)
+
+    # ---- coordinate cotangents (re-gather the blocks; ~70 ms ≪ matmul) ---
+    blk = _gather_blocks(volume, ix, iy, iz)  # (B, N, 2, 4, C)
+    u = jnp.concatenate(
+        [(1 - ty) * (1 - tz), ty * (1 - tz), (1 - ty) * tz, ty * tz], axis=-1
+    )  # (B, N, 4)
+    diff_x = blk[:, :, 1] - blk[:, :, 0]  # (B, N, 4, C)
+    d_tx = jnp.einsum("bnkc,bnk,bnc->bn", diff_x, u, g)
+    gx = blk[:, :, 0] * (1 - tx[..., None]) + blk[:, :, 1] * tx[..., None]
+    d_ty = jnp.einsum(
+        "bnc,bnc->bn", g,
+        (1 - tz) * (gx[:, :, 1] - gx[:, :, 0]) + tz * (gx[:, :, 3] - gx[:, :, 2]),
+    )
+    d_tz = jnp.einsum(
+        "bnc,bnc->bn", g,
+        (gx[:, :, 2] * (1 - ty) + gx[:, :, 3] * ty)
+        - (gx[:, :, 0] * (1 - ty) + gx[:, :, 1] * ty),
+    )
+    # clip passthrough (jnp.clip's VJP: gradient inside the inclusive range)
+    d_fx = jnp.where((fx >= 0) & (fx <= W - 1), d_tx, 0.0)
+    d_fy = jnp.where((fy >= 0) & (fy <= H - 1), d_ty, 0.0)
+    d_fz = jnp.where((fz >= 0) & (fz <= D - 1), d_tz, 0.0)
+
+    # ---- volume cotangent: dV = Pᵀ Q over point chunks -------------------
+    # P (n, D·H): 4 one-hot rows at (iz+a)·H + iy+b weighted u_ab
+    # Q (n, W·C): 2 one-hot column groups at x = ix+a weighted wx_a ⊙ g
+    n_pad = -N % _DVOL_CHUNK
+    def pad(x, value=0):
+        cfgs = [(0, 0)] * x.ndim
+        cfgs[1] = (0, n_pad)
+        return jnp.pad(x, cfgs, constant_values=value) if n_pad else x
+
+    zy_base = (iz * H + iy).astype(jnp.int32)
+    ops = dict(
+        zy=pad(zy_base), x0=pad(ix), u=pad(u), tx=pad(tx[..., 0]),
+        g=pad(g),  # padded g rows are zero → contribute nothing
+    )
+    n_chunks = (N + n_pad) // _DVOL_CHUNK
+    ops = {k: v.reshape(B, n_chunks, _DVOL_CHUNK, *v.shape[2:]).swapaxes(0, 1)
+           for k, v in ops.items()}
+
+    iota_zy = jnp.arange(D * H, dtype=jnp.int32)
+    iota_x = jnp.arange(W, dtype=jnp.int32)
+    mm_dtype = jnp.bfloat16
+
+    def chunk_body(acc, op):
+        zy, x0, uu, txc, gg = op["zy"], op["x0"], op["u"], op["tx"], op["g"]
+        # P: (B, n, DH)
+        p = (
+            (zy[..., None] == iota_zy) * uu[..., 0:1]
+            + ((zy + 1)[..., None] == iota_zy) * uu[..., 1:2]
+            + ((zy + H)[..., None] == iota_zy) * uu[..., 2:3]
+            + ((zy + H + 1)[..., None] == iota_zy) * uu[..., 3:4]
+        ).astype(mm_dtype)
+        # Q: (B, n, W, C)
+        oh0 = (x0[..., None] == iota_x).astype(mm_dtype)
+        oh1 = ((x0 + 1)[..., None] == iota_x).astype(mm_dtype)
+        q = (
+            oh0[..., None] * ((1 - txc)[..., None] * gg)[:, :, None, :]
+            + oh1[..., None] * (txc[..., None] * gg)[:, :, None, :]
+        ).astype(mm_dtype)
+        q = q.reshape(*q.shape[:2], W * C)
+        acc = acc + jnp.einsum(
+            "bnp,bnq->bpq", p, q, preferred_element_type=jnp.float32
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((B, D * H, W * C), jnp.float32)
+    d_vol, _ = lax.scan(chunk_body, acc0, ops)
+    d_vol = d_vol.reshape(B, D, H, W, C).astype(volume.dtype)
+    return d_vol, d_fx, d_fy, d_fz
+
+
+_expanded_gather_border.defvjp(_expanded_fwd, _expanded_bwd)
 
 
 def _block_gather_border(volume: jax.Array, fx, fy, fz) -> jax.Array:

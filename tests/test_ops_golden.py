@@ -307,3 +307,47 @@ def test_merge_z_gradient_roundtrip():
     gr = jax.grad(f_ref, argnums=(0, 1))(za, zb)
     for a, r in zip(ga, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-6)
+
+
+def test_expanded_gather_custom_vjp():
+    """The matmul-transpose backward equals XLA's scatter-based autodiff
+    (checked against the block-gather path, which keeps native autodiff)."""
+    from conditioned_nerf_gan_tpu.ops.grid_sample import (
+        _block_gather_border,
+        _expanded_gather_border,
+        _unnormalize,
+    )
+
+    key = jax.random.PRNGKey(0)
+    B, N, D, H, W, C = 2, 353, 6, 5, 4, 3
+    vol = jax.random.normal(key, (B, D, H, W, C))
+    coords = jax.random.uniform(
+        jax.random.fold_in(key, 1), (B, N, 3), minval=-1.2, maxval=1.2
+    )
+    g_out = jax.random.normal(jax.random.fold_in(key, 2), (B, N, C))
+    fx = _unnormalize(coords[..., 0], W, False)
+    fy = _unnormalize(coords[..., 1], H, False)
+    fz = _unnormalize(coords[..., 2], D, False)
+
+    def loss_exp(vol, fx, fy, fz):
+        return jnp.sum(_expanded_gather_border(vol, fx, fy, fz) * g_out)
+
+    def loss_blk(vol, fx, fy, fz):
+        return jnp.sum(_block_gather_border(vol, fx, fy, fz) * g_out)
+
+    ge = jax.grad(loss_exp, argnums=(0, 1, 2, 3))(vol, fx, fy, fz)
+    gb = jax.grad(loss_blk, argnums=(0, 1, 2, 3))(vol, fx, fy, fz)
+    # bf16 transpose matmuls: tolerance at the bf16 noise floor
+    np.testing.assert_allclose(np.asarray(ge[0]), np.asarray(gb[0]),
+                               atol=0.05, rtol=0.02)
+    # fp32 coordinate grads: tight
+    for a, b in zip(ge[1:], gb[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+    # absolute check of the volume grad against a dense reference
+    def dense_ref(vol):
+        return jnp.sum(_block_gather_border(vol, fx, fy, fz) * g_out)
+
+    gd = jax.grad(dense_ref)(vol)
+    corr = np.corrcoef(np.asarray(ge[0]).ravel(), np.asarray(gd).ravel())[0, 1]
+    assert corr > 0.999
