@@ -95,8 +95,8 @@ def _lerp_blocks(blk, tx, ty, tz):
 
 
 @jax.custom_vjp
-def _expanded_gather_border(volume: jax.Array, fx, fy, fz) -> jax.Array:
-    """Border-mode trilerp via single-segment block gathers (_gather_blocks).
+def _border_trilerp(volume: jax.Array, fx, fy, fz) -> jax.Array:
+    """Border-mode trilerp (both gather strategies, matmul-transpose VJP).
 
     Custom VJP: XLA's native backward for the gather is a scatter-add into
     the volume — measured 8.4 s per 1.57M points on v5e-1 (~5 µs/point; TPUs
@@ -108,11 +108,11 @@ def _expanded_gather_border(volume: jax.Array, fx, fy, fz) -> jax.Array:
     """
     B, D, H, W, C = volume.shape
     ix, iy, iz, tx, ty, tz = _anchor_fractions(fx, fy, fz, D, H, W)
-    return _lerp_blocks(_gather_blocks(volume, ix, iy, iz), tx, ty, tz)
+    return _lerp_blocks(_blocks_for(volume, ix, iy, iz), tx, ty, tz)
 
 
 def _expanded_fwd(volume, fx, fy, fz):
-    return _expanded_gather_border(volume, fx, fy, fz), (volume, fx, fy, fz)
+    return _border_trilerp(volume, fx, fy, fz), (volume, fx, fy, fz)
 
 
 _DVOL_CHUNK = 8192  # points per transpose-matmul chunk (bounds P/Q size)
@@ -125,7 +125,7 @@ def _expanded_bwd(res, g):
     ix, iy, iz, tx, ty, tz = _anchor_fractions(fx, fy, fz, D, H, W)
 
     # ---- coordinate cotangents (re-gather the blocks; ~70 ms ≪ matmul) ---
-    blk = _gather_blocks(volume, ix, iy, iz)  # (B, N, 2, 4, C)
+    blk = _blocks_for(volume, ix, iy, iz)  # (B, N, 2, 4, C)
     u = jnp.concatenate(
         [(1 - ty) * (1 - tz), ty * (1 - tz), (1 - ty) * tz, ty * tz], axis=-1
     )  # (B, N, 4)
@@ -196,7 +196,40 @@ def _expanded_bwd(res, g):
     return d_vol, d_fx, d_fy, d_fz
 
 
-_expanded_gather_border.defvjp(_expanded_fwd, _expanded_bwd)
+_border_trilerp.defvjp(_expanded_fwd, _expanded_bwd)
+
+
+def _block_gather_blocks(volume: jax.Array, ix, iy, iz) -> jax.Array:
+    """(2,2,2,C)-block gather per point → canonical (B, N, 2x, 4zy, C).
+
+    Four segments per point (the z/y strides are discontiguous) — slower
+    than _gather_blocks but needs no 4× expanded copy; used for volumes
+    above _EXPAND_MAX_ELEMS.
+    """
+    B, D, H, W, C = volume.shape
+    starts = jnp.stack([iz, iy, ix], axis=-1)  # (B, N, 3)
+
+    def per_b(vol_b, starts_b):
+        dnums = lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(),
+            start_index_map=(0, 1, 2),
+        )
+        return lax.gather(
+            vol_b, starts_b, dnums, slice_sizes=(2, 2, 2, C),
+            mode=lax.GatherScatterMode.CLIP,
+        )
+
+    blk = jax.vmap(per_b)(volume, starts)  # (B, N, 2z, 2y, 2x, C)
+    B2, N2 = blk.shape[:2]
+    return blk.transpose(0, 1, 4, 2, 3, 5).reshape(B2, N2, 2, 4, C)
+
+
+def _blocks_for(volume, ix, iy, iz):
+    """Pick the gather strategy by volume size (see _EXPAND_MAX_ELEMS)."""
+    B, D, H, W, C = volume.shape
+    if D * H * W * C <= _EXPAND_MAX_ELEMS:
+        return _gather_blocks(volume, ix, iy, iz)
+    return _block_gather_blocks(volume, ix, iy, iz)
 
 
 def _block_gather_border(volume: jax.Array, fx, fy, fz) -> jax.Array:
@@ -210,22 +243,7 @@ def _block_gather_border(volume: jax.Array, fx, fy, fz) -> jax.Array:
     """
     B, D, H, W, C = volume.shape
     ix, iy, iz, tx, ty, tz = _anchor_fractions(fx, fy, fz, D, H, W)
-    starts = jnp.stack([iz, iy, ix], axis=-1)  # (B, N, 3)
-
-    def per_b(vol_b, starts_b):
-        dnums = lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(),
-            start_index_map=(0, 1, 2),
-        )
-        return lax.gather(
-            vol_b, starts_b, dnums, slice_sizes=(2, 2, 2, C),
-            mode=lax.GatherScatterMode.CLIP,
-        )
-
-    blk = jax.vmap(per_b)(volume, starts)  # (B, N, 2, 2, 2, C)
-    gx = blk[..., 0, :] * (1 - tx[:, :, None, None]) + blk[..., 1, :] * tx[:, :, None, None]
-    gy = gx[..., 0, :] * (1 - ty[:, :, None]) + gx[..., 1, :] * ty[:, :, None]
-    return gy[..., 0, :] * (1 - tz) + gy[..., 1, :] * tz
+    return _lerp_blocks(_block_gather_blocks(volume, ix, iy, iz), tx, ty, tz)
 
 
 def trilinear_point_features(
@@ -256,9 +274,9 @@ def trilinear_point_features(
 
     if padding_mode == "border":
         if min(D, H, W) >= 2:
-            if D * H * W * C <= _EXPAND_MAX_ELEMS:
-                return _expanded_gather_border(volume, fx, fy, fz)
-            return _block_gather_border(volume, fx, fy, fz)
+            # custom-vjp trilerp: strategy chosen by size inside; the
+            # backward is always the matmul transpose (never XLA scatter)
+            return _border_trilerp(volume, fx, fy, fz)
         fx = jnp.clip(fx, 0.0, W - 1)
         fy = jnp.clip(fy, 0.0, H - 1)
         fz = jnp.clip(fz, 0.0, D - 1)

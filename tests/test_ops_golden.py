@@ -232,7 +232,7 @@ def test_gather_strategies_agree():
     results (strategy choice is a pure perf decision)."""
     from conditioned_nerf_gan_tpu.ops.grid_sample import (
         _block_gather_border,
-        _expanded_gather_border,
+        _border_trilerp,
         _unnormalize,
     )
 
@@ -245,7 +245,7 @@ def test_gather_strategies_agree():
     fx = _unnormalize(coords[..., 0], W, False)
     fy = _unnormalize(coords[..., 1], H, False)
     fz = _unnormalize(coords[..., 2], D, False)
-    a = _expanded_gather_border(vol, fx, fy, fz)
+    a = _border_trilerp(vol, fx, fy, fz)
     b = _block_gather_border(vol, fx, fy, fz)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
@@ -314,7 +314,7 @@ def test_expanded_gather_custom_vjp():
     (checked against the block-gather path, which keeps native autodiff)."""
     from conditioned_nerf_gan_tpu.ops.grid_sample import (
         _block_gather_border,
-        _expanded_gather_border,
+        _border_trilerp,
         _unnormalize,
     )
 
@@ -330,7 +330,7 @@ def test_expanded_gather_custom_vjp():
     fz = _unnormalize(coords[..., 2], D, False)
 
     def loss_exp(vol, fx, fy, fz):
-        return jnp.sum(_expanded_gather_border(vol, fx, fy, fz) * g_out)
+        return jnp.sum(_border_trilerp(vol, fx, fy, fz) * g_out)
 
     def loss_blk(vol, fx, fy, fz):
         return jnp.sum(_block_gather_border(vol, fx, fy, fz) * g_out)
