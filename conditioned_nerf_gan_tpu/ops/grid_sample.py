@@ -115,7 +115,9 @@ def _expanded_fwd(volume, fx, fy, fz):
     return _border_trilerp(volume, fx, fy, fz), (volume, fx, fy, fz)
 
 
-_DVOL_CHUNK = 8192  # points per transpose-matmul chunk (bounds P/Q size)
+# points per transpose-matmul chunk (bounds P/Q size); swept 4k-32k on
+# v5e-1 at the 64³ stage shape: 233/210/201/204 ms — 16k is the flattest
+_DVOL_CHUNK = 16384
 
 
 def _expanded_bwd(res, g):
