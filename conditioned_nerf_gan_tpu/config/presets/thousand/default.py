@@ -88,4 +88,9 @@ default = {
     # range-reduced polynomial sin: ~3x faster renders on TPU; ~1e-7 output
     # drift at trained weight scales (ops/fastmath.py)
     "use_fast_sin": True,
+    # bf16 mixed precision (the TPU analogue of the reference's fp16
+    # amp.autocast training, utils.py:644-663/803-829): matmul/conv operands
+    # and relu-chain activations in bf16, params/grads/optimizer fp32, sin
+    # epilogues and norm statistics fp32. No GradScaler needed on TPU.
+    "compute_dtype": "bfloat16",
 }

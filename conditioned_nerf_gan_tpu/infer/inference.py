@@ -149,20 +149,26 @@ class Inferencer:
     def _set_models(self) -> None:
         meta = self.curriculum
         gen_meta = meta["generator"]
+        # same bf16 compute policy as training (params are fp32 either way;
+        # bf16 matmuls + fp32 sin drift ~1e-7 at trained weight scales)
+        dtype_name = meta.get("compute_dtype")
+        compute_dtype = jnp.dtype(dtype_name) if dtype_name else None
         self.generator = ImplicitGenerator3d(
             siren_type=gen_meta["siren_type"],
             z_dim=gen_meta["z_dim"],
             input_dim=gen_meta.get("input_dim", 3),
             output_dim=gen_meta.get("output_dim", 4),
             hidden_dim=gen_meta.get("hidden_dim", 256),
+            compute_dtype=compute_dtype,
             use_fast_sin=meta.get("use_fast_sin", False),
             use_pallas=meta.get("use_pallas", False),
         )
         ds = meta["dataset"]
         if ds["load_voxel"]:
-            self.encoder = make_unet(**meta["unet"])
+            self.encoder = make_unet(dtype=compute_dtype, **meta["unet"])
         elif ds["load_pcl"]:
-            self.encoder = ResnetPointnet(c_dim=gen_meta["z_dim"])
+            self.encoder = ResnetPointnet(c_dim=gen_meta["z_dim"],
+                                          dtype=compute_dtype)
         else:
             raise ValueError("curriculum must enable load_pcl or load_voxel")
         discriminator = (

@@ -47,13 +47,20 @@ def _kaiming_conv2d_init(key, shape, dtype=jnp.float32):
 
 
 class Conv2d(nn.Module):
-    """NHWC conv with torch-compatible default init and fan_in bias."""
+    """NHWC conv with torch-compatible default init and fan_in bias.
+
+    `dtype` enables the AMP policy (torch-autocast-like, matching the
+    reference's fp16 amp.autocast D step at utils.py:803-829): operands and
+    activations in bf16 (fp32 MXU accumulation internally), params fp32 —
+    both forward and backward convs then run at the bf16 MXU rate.
+    """
 
     features: int
     kernel_size: int = 3
     stride: int = 1
     padding: int = 0
     kaiming: bool = False
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -61,6 +68,9 @@ class Conv2d(nn.Module):
         c_in = x.shape[-1]
         init = _kaiming_conv2d_init if self.kaiming else _torch_conv2d_init
         kernel = self.param("kernel", init, (k, k, c_in, self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
@@ -73,7 +83,7 @@ class Conv2d(nn.Module):
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
             (self.features,),
         )
-        return y + bias
+        return y + bias.astype(y.dtype)
 
 
 def add_coords(x: jax.Array) -> jax.Array:
@@ -107,11 +117,13 @@ class AdapterBlock(nn.Module):
     """1×1 conv + LeakyReLU(0.2) fromRGB adapter (discriminators.py:21-29)."""
 
     features: int
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
         return nn.leaky_relu(
-            Conv2d(self.features, kernel_size=1, name="conv")(x), 0.2
+            Conv2d(self.features, kernel_size=1, dtype=self.dtype,
+                   name="conv")(x), 0.2
         )
 
 
@@ -120,22 +132,26 @@ class ResidualCoordConvBlock(nn.Module):
 
     features: int
     downsample: bool = False
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
         y = nn.leaky_relu(
-            Conv2d(self.features, 3, padding=1, name="conv1")(add_coords(x)), 0.2
+            Conv2d(self.features, 3, padding=1, dtype=self.dtype,
+                   name="conv1")(add_coords(x)), 0.2
         )
         y = nn.leaky_relu(
-            Conv2d(self.features, 3, padding=1, name="conv2")(add_coords(y)), 0.2
+            Conv2d(self.features, 3, padding=1, dtype=self.dtype,
+                   name="conv2")(add_coords(y)), 0.2
         )
         identity = x
         if self.downsample:
             y = avg_pool_2x(y)
             identity = avg_pool_2x(identity)
         if identity.shape[-1] != self.features:
-            identity = Conv2d(self.features, 1, name="proj")(identity)
-        return (y + identity) / math.sqrt(2.0)
+            identity = Conv2d(self.features, 1, dtype=self.dtype,
+                              name="proj")(identity)
+        return (y + identity.astype(y.dtype)) / math.sqrt(2.0)
 
 
 class StridedResidualConvBlock(nn.Module):
@@ -143,21 +159,24 @@ class StridedResidualConvBlock(nn.Module):
 
     features: int
     coord: bool = False
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
         h = add_coords(x) if self.coord else x
         y = nn.leaky_relu(
-            Conv2d(self.features, 3, padding=1, kaiming=True, name="conv1")(h), 0.2
+            Conv2d(self.features, 3, padding=1, kaiming=True, dtype=self.dtype,
+                   name="conv1")(h), 0.2
         )
         if self.coord:
             y = add_coords(y)
         y = nn.leaky_relu(
             Conv2d(self.features, 3, stride=2, padding=1, kaiming=True,
-                   name="conv2")(y), 0.2
+                   dtype=self.dtype, name="conv2")(y), 0.2
         )
-        identity = Conv2d(self.features, 1, stride=2, name="proj")(x)
-        return (y + identity) / math.sqrt(2.0)
+        identity = Conv2d(self.features, 1, stride=2, dtype=self.dtype,
+                          name="proj")(x)
+        return (y + identity.astype(y.dtype)) / math.sqrt(2.0)
 
 
 _PROG_CHANNELS = (32, 64, 128, 256, 400, 400, 400, 400)
@@ -171,15 +190,21 @@ class _ProgressiveBase(nn.Module):
 
     final_features: int = 1
     input_channels: int = 3
+    dtype: jnp.dtype | None = None
 
     def _trunk(self, img, alpha):
         start = IMG_SIZE_TO_LAYER[img.shape[1]]
+        if self.dtype is not None:
+            # keep the fade-in blend in the policy dtype (a traced fp32 alpha
+            # would otherwise upcast every activation back to fp32)
+            alpha = jnp.asarray(alpha, self.dtype)
         adapters = [
-            AdapterBlock(c, name=f"fromRGB_{i}")
+            AdapterBlock(c, dtype=self.dtype, name=f"fromRGB_{i}")
             for i, c in enumerate(_ADAPTER_CHANNELS)
         ]
         layers = [
-            ResidualCoordConvBlock(c, downsample=True, name=f"layer_{i}")
+            ResidualCoordConvBlock(c, downsample=True, dtype=self.dtype,
+                                   name=f"layer_{i}")
             for i, c in enumerate(_PROG_CHANNELS)
         ]
         if self.is_initializing():
@@ -208,8 +233,8 @@ class ProgressiveDiscriminator(_ProgressiveBase):
     @nn.compact
     def __call__(self, img, alpha, cond=None, **kwargs):
         x = self._trunk(img, alpha)
-        x = Conv2d(1, kernel_size=2, name="final_layer")(x)
-        return x.reshape(x.shape[0], 1)
+        x = Conv2d(1, kernel_size=2, dtype=self.dtype, name="final_layer")(x)
+        return x.reshape(x.shape[0], 1).astype(jnp.float32)
 
 
 class ProgressiveEncoderDiscriminator(_ProgressiveBase):
@@ -221,8 +246,9 @@ class ProgressiveEncoderDiscriminator(_ProgressiveBase):
         if instance_noise > 0 and noise_key is not None:
             img = img + jax.random.normal(noise_key, img.shape, img.dtype) * instance_noise
         x = self._trunk(img, alpha)
-        x = Conv2d(1 + 256 + 2, kernel_size=2, name="final_layer")(x)
-        x = x.reshape(x.shape[0], -1)
+        x = Conv2d(1 + 256 + 2, kernel_size=2, dtype=self.dtype,
+                   name="final_layer")(x)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         return x[..., 0:1], x[..., 1:257], x[..., 257:259]
 
 
@@ -237,8 +263,8 @@ class ProgressiveDiscriminatorInputCat(_ProgressiveBase):
             raise ValueError("inputCat discriminator requires a conditioning image")
         img = jnp.concatenate([img, cond], axis=-1)
         x = self._trunk(img, alpha)
-        x = Conv2d(1, kernel_size=2, name="final_layer")(x)
-        return x.reshape(x.shape[0], 1)
+        x = Conv2d(1, kernel_size=2, dtype=self.dtype, name="final_layer")(x)
+        return x.reshape(x.shape[0], 1).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -259,9 +285,12 @@ class _BatchNorm(nn.Module):
         c = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,))
         beta = self.param("bias", nn.initializers.zeros, (c,))
-        mean = jnp.mean(x, axis=(0, 1, 2))
-        var = jnp.var(x, axis=(0, 1, 2))
-        return (x - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+        # statistics in fp32 regardless of the AMP policy (autocast semantics)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        y = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+        return y.astype(x.dtype)
 
 
 def _resnet_conv_init(key, shape, dtype=jnp.float32):
@@ -275,6 +304,7 @@ class _ResNetConv(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     padding: int = 1
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -282,6 +312,9 @@ class _ResNetConv(nn.Module):
         kernel = self.param(
             "kernel", _resnet_conv_init, (k, k, x.shape[-1], self.features)
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         return jax.lax.conv_general_dilated(
             x, kernel, window_strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
@@ -292,29 +325,33 @@ class _ResNetConv(nn.Module):
 class _BasicBlock(nn.Module):
     features: int
     stride: int = 1
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = _ResNetConv(self.features, 3, self.stride, 1, name="conv1")(x)
+        out = _ResNetConv(self.features, 3, self.stride, 1, dtype=self.dtype,
+                          name="conv1")(x)
         out = nn.relu(_BatchNorm(name="bn1")(out))
-        out = _ResNetConv(self.features, 3, 1, 1, name="conv2")(out)
+        out = _ResNetConv(self.features, 3, 1, 1, dtype=self.dtype,
+                          name="conv2")(out)
         out = _BatchNorm(name="bn2")(out)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = _ResNetConv(self.features, 1, self.stride, 0,
-                                   name="downsample_conv")(x)
+                                   dtype=self.dtype, name="downsample_conv")(x)
             identity = _BatchNorm(name="downsample_bn")(identity)
-        return nn.relu(out + identity)
+        return nn.relu(out + identity.astype(out.dtype))
 
 
 class ResNet18(nn.Module):
     """torchvision-architecture ResNet18 (NHWC) with a custom fc head."""
 
     num_outputs: int = 1600
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        x = _ResNetConv(64, 7, 2, 3, name="conv1")(x)
+        x = _ResNetConv(64, 7, 2, 3, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(_BatchNorm(name="bn1")(x))
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
         x = jax.lax.reduce_window(
@@ -323,9 +360,11 @@ class ResNet18(nn.Module):
         for stage, (features, stride) in enumerate(
             [(64, 1), (128, 2), (256, 2), (512, 2)]
         ):
-            x = _BasicBlock(features, stride, name=f"layer{stage + 1}_0")(x)
-            x = _BasicBlock(features, 1, name=f"layer{stage + 1}_1")(x)
-        x = jnp.mean(x, axis=(1, 2))
+            x = _BasicBlock(features, stride, dtype=self.dtype,
+                            name=f"layer{stage + 1}_0")(x)
+            x = _BasicBlock(features, 1, dtype=self.dtype,
+                            name=f"layer{stage + 1}_1")(x)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         kernel = self.param(
             "fc_kernel",
             lambda key, shape: jax.random.uniform(
@@ -356,8 +395,9 @@ class ProgressiveDiscriminatorProjection(_ProgressiveBase):
         if cond is None:
             raise ValueError("projection discriminator requires a conditioning image")
         x = self._trunk(img, alpha)
-        x = x.reshape(x.shape[0], -1)  # (B, 1600)
-        cmap = ResNet18(num_outputs=1600, name="mapping")(cond)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)  # (B, 1600)
+        cmap = ResNet18(num_outputs=1600, dtype=self.dtype,
+                        name="mapping")(cond)
         cmap = cmap / jnp.maximum(
             jnp.linalg.norm(cmap, axis=-1, keepdims=True), 1e-12
         )
@@ -371,14 +411,19 @@ class ProgressiveDiscriminatorProjection(_ProgressiveBase):
 class _StridedBase(nn.Module):
     coord: bool = False
     final_features: int = 1
+    dtype: jnp.dtype | None = None
 
     def _trunk(self, img, alpha):
         start = SG_IMG_SIZE_TO_LAYER[img.shape[1]]
+        if self.dtype is not None:
+            alpha = jnp.asarray(alpha, self.dtype)
         adapters = [
-            AdapterBlock(c, name=f"fromRGB_{i}") for i, c in enumerate(_SG_ADAPTERS)
+            AdapterBlock(c, dtype=self.dtype, name=f"fromRGB_{i}")
+            for i, c in enumerate(_SG_ADAPTERS)
         ]
         layers = [
-            StridedResidualConvBlock(c, coord=self.coord, name=f"layer_{i}")
+            StridedResidualConvBlock(c, coord=self.coord, dtype=self.dtype,
+                                     name=f"layer_{i}")
             for i, c in enumerate(_SG_CHANNELS)
         ]
         if self.is_initializing():
@@ -404,8 +449,8 @@ class StridedDiscriminator(_StridedBase):
     @nn.compact
     def __call__(self, img, alpha, cond=None, **kwargs):
         x = self._trunk(img, alpha)
-        x = Conv2d(1, kernel_size=2, name="final_layer")(x)
-        return x.reshape(x.shape[0], 1), None, None
+        x = Conv2d(1, kernel_size=2, dtype=self.dtype, name="final_layer")(x)
+        return x.reshape(x.shape[0], 1).astype(jnp.float32), None, None
 
 
 class CCSDiscriminator(_StridedBase):
@@ -416,8 +461,8 @@ class CCSDiscriminator(_StridedBase):
     @nn.compact
     def __call__(self, img, alpha, cond=None, **kwargs):
         x = self._trunk(img, alpha)
-        x = Conv2d(1, kernel_size=2, name="final_layer")(x)
-        return x.reshape(x.shape[0], 1), None, None
+        x = Conv2d(1, kernel_size=2, dtype=self.dtype, name="final_layer")(x)
+        return x.reshape(x.shape[0], 1).astype(jnp.float32), None, None
 
 
 class CCSEncoderDiscriminator(_StridedBase):
@@ -428,8 +473,9 @@ class CCSEncoderDiscriminator(_StridedBase):
     @nn.compact
     def __call__(self, img, alpha, cond=None, **kwargs):
         x = self._trunk(img, alpha)
-        x = Conv2d(1 + 256 + 2, kernel_size=2, name="final_layer")(x)
-        x = x.reshape(x.shape[0], -1)
+        x = Conv2d(1 + 256 + 2, kernel_size=2, dtype=self.dtype,
+                   name="final_layer")(x)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         return x[..., 0:1], x[..., 1:257], x[..., 257:259]
 
 

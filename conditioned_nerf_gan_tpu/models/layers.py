@@ -75,6 +75,13 @@ class TorchLinear(nn.Module):
     use_bias: bool = True
     bias_init_zero: bool = False
     dtype: jnp.dtype | None = None  # compute dtype (bf16 policy); params stay fp32
+    # fp32_out=True (the SIREN policy): bf16 operands, fp32 accumulation and
+    # fp32 activations — required by the sin() epilogues, but the fp32
+    # cotangents force the *backward* matmuls onto the fp32 path.
+    # fp32_out=False (the AMP policy, torch-autocast-like): activations stay
+    # in `dtype`, so the backward matmuls also run at bf16 MXU rate (the MXU
+    # still accumulates in fp32 internally). Use for relu/leaky-relu nets.
+    fp32_out: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -86,7 +93,7 @@ class TorchLinear(nn.Module):
             # too coarse for sin(freq·x) with freq ≈ 30-45)
             y = jnp.dot(
                 x.astype(self.dtype), kernel.astype(self.dtype),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32 if self.fp32_out else None,
             )
         else:
             y = jnp.dot(x, kernel)
@@ -100,7 +107,7 @@ class TorchLinear(nn.Module):
                     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
             bias = self.param("bias", bias_init, (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 

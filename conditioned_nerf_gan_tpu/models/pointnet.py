@@ -23,41 +23,56 @@ class ResnetBlockFC(nn.Module):
 
     size_out: int
     size_h: int | None = None
+    dtype: jnp.dtype | None = None  # AMP policy: bf16 matmuls AND activations
 
     @nn.compact
     def __call__(self, x):
         size_in = x.shape[-1]
         size_h = self.size_h or min(size_in, self.size_out)
+        amp = dict(dtype=self.dtype, fp32_out=False)
 
-        net = TorchLinear(size_h, name="fc_0")(nn.relu(x))
+        net = TorchLinear(size_h, name="fc_0", **amp)(nn.relu(x))
         dx = TorchLinear(
-            self.size_out, kernel_init=nn.initializers.zeros, name="fc_1"
+            self.size_out, kernel_init=nn.initializers.zeros, name="fc_1", **amp
         )(nn.relu(net))
         if size_in == self.size_out:
             x_s = x
         else:
-            x_s = TorchLinear(self.size_out, use_bias=False, name="shortcut")(x)
-        return x_s + dx
+            x_s = TorchLinear(self.size_out, use_bias=False, name="shortcut",
+                              **amp)(x)
+        return x_s.astype(dx.dtype) + dx
 
 
 class ResnetPointnet(nn.Module):
-    """(B, T, dim) points -> (B, c_dim) latent via 5 ResNet blocks + max-pool."""
+    """(B, T, dim) points -> (B, c_dim) latent via 5 ResNet blocks + max-pool.
+
+    `dtype=bfloat16` enables the torch-autocast-like mixed policy (the
+    reference trains this encoder under fp16 AMP, utils.py:644-654): all
+    matmuls and the relu chain run bf16 on the MXU, params/grads and the
+    final latent stay fp32.
+    """
 
     c_dim: int = 512
     hidden_dim: int = 512
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, p):
         h = self.hidden_dim
-        net = TorchLinear(2 * h, name="fc_pos")(p)
-        net = ResnetBlockFC(h, name="block_0")(net)
+        amp = dict(dtype=self.dtype, fp32_out=False)
+        net = TorchLinear(2 * h, name="fc_pos", **amp)(p)
+        net = ResnetBlockFC(h, name="block_0", dtype=self.dtype)(net)
         for i in range(1, 5):
             pooled = jnp.max(net, axis=1, keepdims=True)
             pooled = jnp.broadcast_to(pooled, net.shape)
             net = jnp.concatenate([net, pooled], axis=2)
-            net = ResnetBlockFC(h, name=f"block_{i}")(net)
+            net = ResnetBlockFC(h, name=f"block_{i}", dtype=self.dtype)(net)
         net = jnp.max(net, axis=1)
-        return TorchLinear(self.c_dim, name="fc_c")(nn.relu(net))
+        # final latent in fp32: encode_pcl's whitening (mean/std, ddof=1)
+        # needs fp32 resolution
+        return TorchLinear(self.c_dim, name="fc_c", dtype=self.dtype)(
+            nn.relu(net)
+        ).astype(jnp.float32)
 
 
 def encode_pcl(

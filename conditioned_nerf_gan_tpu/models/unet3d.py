@@ -44,18 +44,28 @@ def _torch_conv_init(key, shape, dtype=jnp.float32):
 
 
 class Conv3d(nn.Module):
-    """3-D convolution, NDHWC, torch-default init."""
+    """3-D convolution, NDHWC, torch-default init.
+
+    `dtype` enables the torch-autocast-like AMP policy (the reference trains
+    the encoder under fp16 amp.autocast, utils.py:644-654): bf16 operands and
+    activations, fp32 params/grads; GroupNorm stays fp32 via flax's dtype
+    promotion against the fp32 scale/bias params.
+    """
 
     features: int
     kernel_size: int = 3
     padding: int = 1
     use_bias: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         c_in = x.shape[-1]
         kernel = self.param("kernel", _torch_conv_init, (k, k, k, c_in, self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         pad = [(self.padding, self.padding)] * 3
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1, 1, 1), padding=pad,
@@ -69,7 +79,7 @@ class Conv3d(nn.Module):
                 lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
                 (self.features,),
             )
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -83,6 +93,7 @@ class ConvTranspose3d(nn.Module):
 
     features: int
     kernel_size: int = 3
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -108,12 +119,15 @@ class ConvTranspose3d(nn.Module):
         # stride-2 transposed conv with padding=1, output_padding=1:
         # dilate input by 2, pad (k-1-p, k-1-p+op) = (1, 2), flipped kernel.
         flipped = kernel[::-1, ::-1, ::-1, :, :]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            flipped = flipped.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x, flipped, window_strides=(1, 1, 1), padding=[(1, 2)] * 3,
             lhs_dilation=(2, 2, 2),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         )
-        return y + bias
+        return y + bias.astype(y.dtype)
 
 
 class SingleConv(nn.Module):
@@ -124,6 +138,7 @@ class SingleConv(nn.Module):
     num_groups: int = 8
     kernel_size: int = 3
     padding: int = 1
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -139,7 +154,7 @@ class SingleConv(nn.Module):
             elif char == "c":
                 x = Conv3d(
                     self.features, self.kernel_size, self.padding,
-                    use_bias=not has_norm, name="conv",
+                    use_bias=not has_norm, dtype=self.dtype, name="conv",
                 )(x)
             elif char == "g":
                 channels = x.shape[-1]
@@ -163,6 +178,7 @@ class DoubleConv(nn.Module):
     order: str = "gcr"
     num_groups: int = 8
     kernel_size: int = 3
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -171,9 +187,9 @@ class DoubleConv(nn.Module):
         else:
             mid = self.features
         x = SingleConv(mid, self.order, self.num_groups, self.kernel_size,
-                       name="SingleConv1")(x)
+                       dtype=self.dtype, name="SingleConv1")(x)
         x = SingleConv(self.features, self.order, self.num_groups,
-                       self.kernel_size, name="SingleConv2")(x)
+                       self.kernel_size, dtype=self.dtype, name="SingleConv2")(x)
         return x
 
 
@@ -184,18 +200,19 @@ class ExtResNetBlock(nn.Module):
     order: str = "cge"
     num_groups: int = 8
     kernel_size: int = 3
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
         out = SingleConv(self.features, self.order, self.num_groups,
-                         self.kernel_size, name="conv1")(x)
+                         self.kernel_size, dtype=self.dtype, name="conv1")(x)
         residual = out
         out = SingleConv(self.features, self.order, self.num_groups,
-                         self.kernel_size, name="conv2")(out)
+                         self.kernel_size, dtype=self.dtype, name="conv2")(out)
         n_order = "".join(c for c in self.order if c not in "rel")
         out = SingleConv(self.features, n_order, self.num_groups,
-                         self.kernel_size, name="conv3")(out)
-        out = out + residual
+                         self.kernel_size, dtype=self.dtype, name="conv3")(out)
+        out = out + residual.astype(out.dtype)
         if "l" in self.order:
             return nn.leaky_relu(out, negative_slope=0.1)
         if "e" in self.order:
@@ -233,6 +250,7 @@ class AbstractUNet3D(nn.Module):
     is_segmentation: bool = False
     final_sigmoid: bool = False
     testing: bool = False
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -246,9 +264,10 @@ class AbstractUNet3D(nn.Module):
                 # ExtResNetBlock, overriding that class's "cge" default
                 # (unet3d.py:310-317 forwards order=layer_order)
                 return ExtResNetBlock(features, order=self.layer_order,
-                                      num_groups=self.num_groups, name=name)
+                                      num_groups=self.num_groups,
+                                      dtype=self.dtype, name=name)
             return DoubleConv(features, encoder, self.layer_order,
-                              self.num_groups, name=name)
+                              self.num_groups, dtype=self.dtype, name=name)
 
         # ---- encoder path ------------------------------------------------
         skips = []
@@ -259,28 +278,31 @@ class AbstractUNet3D(nn.Module):
             skips.insert(0, x)
 
         if self.return_global:
-            global_features = jnp.mean(x, axis=(1, 2, 3))  # bottleneck avg-pool
+            # bottleneck avg-pool; reduce + expose in fp32 under the AMP policy
+            global_features = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
         skips = skips[1:]
 
         # ---- decoder path ------------------------------------------------
         feature_pyramid = []
         for i, enc in enumerate(skips):
             if self.residual:
-                x = ConvTranspose3d(enc.shape[-1], name=f"upconv_{i}")(x)
-                x = enc + x
+                x = ConvTranspose3d(enc.shape[-1], dtype=self.dtype,
+                                    name=f"upconv_{i}")(x)
+                x = enc.astype(x.dtype) + x
             else:
                 x = upsample_nearest_2x(x)
-                x = jnp.concatenate([enc, x], axis=-1)
+                x = jnp.concatenate([enc.astype(x.dtype), x], axis=-1)
             x = block(enc.shape[-1], False, f"decoder_{i}")(x)
-            feature_pyramid.append(x)
+            feature_pyramid.append(x.astype(jnp.float32))
 
         if self.pyramid:
             if self.return_global:
                 return feature_pyramid, global_features
             return feature_pyramid
 
+        # the feature volume feeds the fp32 trilinear-gather/SIREN path
         x = Conv3d(self.out_channels, kernel_size=1, padding=0,
-                   name="final_conv")(x)
+                   name="final_conv")(x.astype(jnp.float32))
         if self.is_segmentation and self.testing:
             x = nn.sigmoid(x) if self.final_sigmoid else nn.softmax(x, axis=-1)
         if self.return_global:
@@ -307,13 +329,13 @@ def ResidualUNet3D(**kwargs) -> AbstractUNet3D:
 def _make(*, in_channels, out_channels, f_maps=64, layer_order="gcr",
           num_groups=8, num_levels=4, is_segmentation=False,
           final_sigmoid=False, return_global=False, testing=False,
-          residual=False, pyramid=False, **_unused) -> AbstractUNet3D:
+          residual=False, pyramid=False, dtype=None, **_unused) -> AbstractUNet3D:
     return AbstractUNet3D(
         in_channels=in_channels, out_channels=out_channels, f_maps=f_maps,
         layer_order=layer_order, num_groups=num_groups, num_levels=num_levels,
         residual=residual, pyramid=pyramid, return_global=return_global,
         is_segmentation=is_segmentation, final_sigmoid=final_sigmoid,
-        testing=testing,
+        testing=testing, dtype=dtype,
     )
 
 

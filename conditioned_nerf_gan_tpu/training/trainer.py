@@ -133,6 +133,13 @@ class Trainer:
     def _build_models(self):
         gen_meta = dict(self.metadata["generator"])
         gen_meta.setdefault("drop_out", self.metadata.get("dropout_ratio", 0))
+        # Mixed-precision policy (metadata "compute_dtype", a str-keyed —
+        # i.e. run-constant — curriculum entry). The reference trains every
+        # net under fp16 amp.autocast (utils.py:644-663, 803-829); here the
+        # bf16 analogue needs no GradScaler. Params/grads/optimizer state
+        # stay fp32 everywhere; SIREN keeps fp32 sin epilogues.
+        dtype_name = self.metadata.get("compute_dtype")
+        compute_dtype = jnp.dtype(dtype_name) if dtype_name else None
         self.generator = ImplicitGenerator3d(
             siren_type=gen_meta["siren_type"],
             z_dim=gen_meta["z_dim"],
@@ -140,18 +147,20 @@ class Trainer:
             output_dim=gen_meta.get("output_dim", 4),
             hidden_dim=gen_meta.get("hidden_dim", 256),
             drop_out=gen_meta.get("drop_out", 0),
+            compute_dtype=compute_dtype,
             use_fast_sin=self.metadata.get("use_fast_sin", False),
             use_pallas=self.metadata.get("use_pallas", False),
         )
         ds = self.metadata["dataset"]
         if ds["load_voxel"]:
-            self.encoder = make_unet(**self.metadata["unet"])
+            self.encoder = make_unet(dtype=compute_dtype, **self.metadata["unet"])
         elif ds["load_pcl"]:
-            self.encoder = ResnetPointnet(c_dim=gen_meta["z_dim"])
+            self.encoder = ResnetPointnet(c_dim=gen_meta["z_dim"],
+                                          dtype=compute_dtype)
         else:
             raise ValueError("Either load_pcl or load_voxel must be set")
         self.discriminator = (
-            make_discriminator(self.metadata["discriminator"])
+            make_discriminator(self.metadata["discriminator"], dtype=compute_dtype)
             if self.metadata["enable_discriminator"] else None
         )
 

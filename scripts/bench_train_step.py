@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Measure train-step wall time on the real TPU chip.
+
+Methodology (see CLAUDE.md): N steps chained inside ONE jitted lax.fori_loop
+with the evolving TrainState as the data dependence, forced with a scalar
+download; min of >=3 trials. All big arrays are passed as jit ARGUMENTS (the
+remote compile helper rejects large closure constants).
+
+Usage: python scripts/bench_train_step.py [--stage N] [--steps N] [--fp32]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", type=int, default=2, help="thousand curriculum stage (0-3)")
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--fp32", action="store_true", help="disable the bf16 compute policy")
+    ap.add_argument("--pcl_points", type=int, default=65536, help="full pcl size before num_points_ratio")
+    args = ap.parse_args()
+
+    from conditioned_nerf_gan_tpu.config import extract_metadata, load_curriculum
+    from conditioned_nerf_gan_tpu.models import (
+        ImplicitGenerator3d, ResnetPointnet, make_discriminator,
+    )
+    from conditioned_nerf_gan_tpu.training import (
+        TrainStepConfig, create_train_state, make_train_step,
+    )
+
+    cur = load_curriculum(config_base="thousand")
+    stage_steps = sorted(k for k in cur if isinstance(k, int))
+    step_at = stage_steps[args.stage]
+    meta = extract_metadata(cur, step_at)
+    if args.fp32:
+        meta["compute_dtype"] = None
+
+    dtype_name = meta.get("compute_dtype")
+    compute_dtype = jnp.dtype(dtype_name) if dtype_name else None
+    gen_meta = meta["generator"]
+    gen = ImplicitGenerator3d(
+        siren_type=gen_meta["siren_type"], z_dim=gen_meta["z_dim"],
+        hidden_dim=gen_meta.get("hidden_dim", 256),
+        compute_dtype=compute_dtype,
+        use_fast_sin=meta.get("use_fast_sin", False),
+    )
+    enc = ResnetPointnet(c_dim=gen_meta["z_dim"], dtype=compute_dtype)
+    disc = make_discriminator(meta["discriminator"], dtype=compute_dtype)
+    cfg = TrainStepConfig.from_metadata(meta)
+
+    B = meta["batch_size"]
+    img = meta["img_size"]
+    n_pts = max(1, int(args.pcl_points * meta.get("num_points_ratio", 1.0)))
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": rng.uniform(-1, 1, (B, img, img, 3)).astype(np.float32),
+        "cam2world": np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy(),
+        "pcl": rng.uniform(-0.4, 0.4, (B, n_pts, 6)).astype(np.float32),
+    }
+    print(f"stage {args.stage}: img {img}, batch {B} (split {cfg.batch_split}, "
+          f"ray_chunks {cfg.render.ray_chunks}), num_steps {cfg.render.num_steps}, "
+          f"pcl {n_pts}, dtype {dtype_name or 'float32'}")
+
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(lambda k, b: create_train_state(k, gen, enc, disc, b, cfg))(
+        key, batch
+    )
+    jax.block_until_ready(state.params_G)
+    train_step = make_train_step(gen, enc, disc, cfg)
+
+    def run_n(state, batch, key):
+        def body(i, carry):
+            st, acc = carry
+            st, metrics = train_step(
+                st, batch, jax.random.fold_in(key, i),
+                jnp.float32(0.5), jnp.float32(0.1),
+            )
+            return st, acc + metrics["photo_loss"]
+        st, acc = jax.lax.fori_loop(0, args.steps, body, (state, jnp.zeros(())))
+        return acc, st.step
+
+    run = jax.jit(run_n)
+    print("compiling...", flush=True)
+    t0 = time.time()
+    acc, _ = run(state, batch, key)
+    print(f"compile+first: {time.time()-t0:.1f}s acc={float(acc):.4f}", flush=True)
+
+    times = []
+    for t in range(args.trials):
+        k = jax.random.fold_in(key, 100 + t)
+        t0 = time.time()
+        acc, _ = run(state, batch, k)
+        acc = float(acc)  # force
+        dt = time.time() - t0
+        times.append(dt / args.steps)
+        print(f"trial {t}: {dt/args.steps:.3f} s/step (acc {acc:.4f})", flush=True)
+    print(f"BEST: {min(times):.3f} s/step")
+
+
+if __name__ == "__main__":
+    main()

@@ -326,3 +326,56 @@ def test_ray_sharded_render_matches_single_device():
     px, d = render_ray_sharded(gen, params, z, cams, cfg.render, mesh)
     np.testing.assert_allclose(np.asarray(px), np.asarray(ref_px), atol=1e-5)
     np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-5)
+
+
+def test_bf16_compute_policy_trains():
+    """The bf16 AMP policy (metadata "compute_dtype"): params/grads/opt state
+    stay fp32, metrics stay finite and the photometric term still learns, and
+    the bf16 forward agrees with fp32 to bf16 resolution at init."""
+    img, steps, B = 16, 8, 4
+    cfg = TrainStepConfig(
+        render=RenderConfig(img_size=img, num_steps=steps, fov=49.13,
+                            ray_start=0.25, ray_end=1.95,
+                            hierarchical_sample=True, white_back=True),
+        batch_split=2, enable_discriminator=True, photo_loss=True,
+        load_pcl=True, r1_lambda=10.0, z_reg_weight=0.01, remat=True,
+    )
+    dt = jnp.bfloat16
+    gen = ImplicitGenerator3d(siren_type="SHORTSIREN", z_dim=32, hidden_dim=32,
+                              compute_dtype=dt)
+    enc = ResnetPointnet(c_dim=32, hidden_dim=16, dtype=dt)
+    disc = make_discriminator("ProgressiveDiscriminator", dtype=dt)
+    disc_f32 = make_discriminator("ProgressiveDiscriminator")
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": jnp.asarray(rng.uniform(-1, 1, (B, img, img, 3)).astype(np.float32)),
+        "cam2world": jnp.broadcast_to(jnp.eye(4), (B, 4, 4)).astype(jnp.float32),
+        "pcl": jnp.asarray(rng.uniform(-0.3, 0.3, (B, 64, 6)).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(lambda k, b: create_train_state(k, gen, enc, disc, b, cfg))(
+        key, batch
+    )
+    # params are fp32 regardless of the compute policy
+    for leaf in jax.tree.leaves((state.params_G, state.params_E, state.params_D)):
+        assert leaf.dtype == jnp.float32
+
+    # the same params give bf16-close logits through the bf16 discriminator
+    logits_bf16 = disc.apply(state.params_D, batch["img"], 0.5)
+    logits_f32 = disc_f32.apply(state.params_D, batch["img"], 0.5)
+    assert logits_bf16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(logits_bf16), np.asarray(logits_f32), rtol=0.1, atol=0.05
+    )
+
+    step = jax.jit(make_train_step(gen, enc, disc, cfg))
+    first_photo = None
+    for _ in range(6):
+        state, metrics = step(state, batch, key, jnp.float32(0.5), jnp.float32(0.1))
+        if first_photo is None:
+            first_photo = float(metrics["photo_loss"])
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert float(metrics["photo_loss"]) < first_photo
+    for leaf in jax.tree.leaves(state.params_G):
+        assert leaf.dtype == jnp.float32
