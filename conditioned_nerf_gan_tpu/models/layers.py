@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.fastmath import fast_sin
+from ..ops.mixed import mixed_dot
 
 
 # ---------------------------------------------------------------------------
@@ -88,13 +89,15 @@ class TorchLinear(nn.Module):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (fan_in, self.features))
         if self.dtype is not None:
-            # mixed precision: bf16 operands on the MXU, fp32 accumulation —
-            # the sin() epilogues downstream stay fp32 (bf16 resolution is far
-            # too coarse for sin(freq·x) with freq ≈ 30-45)
-            y = jnp.dot(
-                x.astype(self.dtype), kernel.astype(self.dtype),
-                preferred_element_type=jnp.float32 if self.fp32_out else None,
-            )
+            if self.fp32_out:
+                # mixed precision with fp32 activations: bf16 operands on the
+                # MXU, fp32 accumulation — the sin() epilogues downstream stay
+                # fp32 (bf16 resolution is far too coarse for sin(freq·x) with
+                # freq ≈ 30-45). The custom VJP keeps the *backward* matmuls
+                # at the bf16 MXU rate despite the fp32 cotangents.
+                y = mixed_dot(x, kernel, self.dtype)
+            else:
+                y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         else:
             y = jnp.dot(x, kernel)
         if self.use_bias:

@@ -33,3 +33,49 @@ def test_fast_sin_policy_drift_small_at_init_scale():
     a = exact.apply(params, pts, z)
     b = fast.apply(params, pts, z)
     assert float(jnp.abs(a - b).max()) < 1e-5
+
+
+def test_mixed_dot_matches_fp32_and_dtypes():
+    """ops/mixed.py: forward ~= fp32 dot to bf16 tolerance; cotangents return
+    in the primal dtypes; composes with checkpoint/scan/vmap."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from conditioned_nerf_gan_tpu.ops.mixed import mixed_dot
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 17, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(8, 5)).astype(np.float32))
+
+    y = mixed_dot(x, w)
+    y_ref = jnp.dot(x, w)
+    assert y.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=0.05,
+                               atol=0.05)
+
+    def f_mixed(x, w):
+        return jnp.sum(jnp.sin(mixed_dot(x, w) * 3.0))
+
+    def f_ref(x, w):
+        return jnp.sum(jnp.sin(jnp.dot(x, w) * 3.0))
+
+    gm = jax.grad(f_mixed, argnums=(0, 1))(x, w)
+    gr = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    for a, b in zip(gm, gr):
+        assert a.dtype == jnp.float32
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+        assert rel < 0.05, rel
+
+    # bf16 primal input -> bf16 cotangent (the PointNet fc_c case)
+    xb = x.astype(jnp.bfloat16)
+    g = jax.grad(lambda xx: jnp.sum(mixed_dot(xx, w)))(xb)
+    assert g.dtype == jnp.bfloat16
+
+    # composes with remat + scan + vmap
+    def step(c, xi):
+        return c, jax.checkpoint(lambda xx: jnp.sum(mixed_dot(xx, w)))(xi)
+
+    _, ys = jax.lax.scan(step, 0.0, x)
+    assert ys.shape == (4,)
+    g2 = jax.grad(lambda xx: jnp.sum(jax.vmap(lambda t: mixed_dot(t, w))(xx)))(x)
+    assert g2.shape == x.shape and g2.dtype == jnp.float32
