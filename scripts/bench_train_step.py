@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--fp32", action="store_true", help="disable the bf16 compute policy")
+    ap.add_argument("--no_disc", action="store_true", help="ablation: drop the discriminator (D step + G adv term)")
+    ap.add_argument("--no_hier", action="store_true", help="ablation: coarse-only sampling")
+    ap.add_argument("--no_photo", action="store_true", help="ablation: drop the photometric loss")
     ap.add_argument("--pcl_points", type=int, default=65536, help="full pcl size before num_points_ratio")
     args = ap.parse_args()
 
@@ -46,6 +49,12 @@ def main():
     meta = extract_metadata(cur, step_at)
     if args.fp32:
         meta["compute_dtype"] = None
+    if args.no_disc:
+        meta["enable_discriminator"] = False
+    if args.no_hier:
+        meta["hierarchical_sample"] = False
+    if args.no_photo:
+        meta["photo_loss"] = False
 
     dtype_name = meta.get("compute_dtype")
     compute_dtype = jnp.dtype(dtype_name) if dtype_name else None
@@ -57,7 +66,8 @@ def main():
         use_fast_sin=meta.get("use_fast_sin", False),
     )
     enc = ResnetPointnet(c_dim=gen_meta["z_dim"], dtype=compute_dtype)
-    disc = make_discriminator(meta["discriminator"], dtype=compute_dtype)
+    disc = (make_discriminator(meta["discriminator"], dtype=compute_dtype)
+            if meta["enable_discriminator"] else None)
     cfg = TrainStepConfig.from_metadata(meta)
 
     B = meta["batch_size"]
