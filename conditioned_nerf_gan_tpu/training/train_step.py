@@ -265,7 +265,13 @@ def make_train_step(
             p, zz, cc, config.render, rng=kk, nerf_noise=nerf_noise,
             deterministic=False,
         )
-        if config.remat:
+        # With ray_chunks > 1 the generator already rematerializes per chunk
+        # (models/generator.py chunk_fn); an outer checkpoint on top would
+        # nominally recompute the whole render forward a third time in the
+        # backward pass. Measured perf-neutral at stage 2 (XLA CSEs the
+        # nested recompute), but skipping it keeps the graph honest and the
+        # memory bound attributable to the per-chunk remat alone.
+        if config.remat and config.render.ray_chunks <= 1:
             apply_fn = jax.checkpoint(apply_fn, static_argnums=())
         return apply_fn(params_G, z, cams, key)
 
