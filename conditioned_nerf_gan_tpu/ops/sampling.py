@@ -108,9 +108,12 @@ def _cosort(z, outputs):
 
     Custom VJP: XLA differentiates `lax.sort` through a scatter, which is
     latency-bound per element on TPU and costs ~450 ms per stage-2 G-step
-    backward (measured v5e-1, 18.9M samples). The inverse permutation is a
-    bijection, so the backward is expressed as a *gather* by the inverse
-    permutation (computed in the forward with one extra lane-axis sort).
+    backward (measured v5e-1, 18.9M samples). Unsorting is itself a sort:
+    co-sorting the cotangents with the forward permutation as the key puts
+    every cotangent back at its pre-sort position (sorting `perm` ascending
+    is the inverse permutation applied to the carried operands). One more
+    lane-axis multi-operand sort (~5 ms/render) replaces both the scatter
+    AND the earlier take_along_axis gather formulation (~200 ms/step).
     """
     return _cosort_fwd(z, outputs)[0]
 
@@ -122,16 +125,16 @@ def _cosort_fwd(z, outputs):
     sorted_ops = jax.lax.sort(operands, dimension=-1, num_keys=1, is_stable=True)
     z_s, perm = sorted_ops[0], sorted_ops[1]
     out_s = jnp.stack(sorted_ops[2:], axis=-1)
-    # argsort of the permutation = one more lane-axis sort
-    _, inv_perm = jax.lax.sort((perm, iota), dimension=-1, num_keys=1,
-                               is_stable=True)
-    return (z_s, out_s), inv_perm
+    return (z_s, out_s), perm
 
 
-def _cosort_bwd(inv_perm, cotangents):
+def _cosort_bwd(perm, cotangents):
     gz, gout = cotangents
-    gz_in = jnp.take_along_axis(gz, inv_perm, axis=-1)
-    gout_in = jnp.take_along_axis(gout, inv_perm[..., None], axis=-2)
+    channels = gout.shape[-1]
+    operands = (perm, gz) + tuple(gout[..., c] for c in range(channels))
+    unsorted = jax.lax.sort(operands, dimension=-1, num_keys=1, is_stable=True)
+    gz_in = unsorted[1]
+    gout_in = jnp.stack(unsorted[2:], axis=-1)
     return gz_in, gout_in
 
 

@@ -66,7 +66,10 @@ def main():
     params = gen.init(key, z, cams, RenderConfig(img_size=16, num_steps=8,
                                                  ray_chunks=0))
     n_pts = Bs * args.img * args.img * args.steps * 2
-    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (Bs, n_pts // Bs, 3)).astype(np.float32))
+    # A/B run on ONE ray-chunk's worth of points (the unchunked full-image
+    # grad needs ~40 GB of activations — that's what the chunked remat is for)
+    n_eval = n_pts // max(args.chunks, 1)
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (Bs, n_eval // Bs, 3)).astype(np.float32))
 
     def chain(f):
         """iterate f with data dependence inside one jit; the trial key
@@ -109,11 +112,13 @@ def main():
     tD = timeit(chain(render_grad), (params, z, cams)) / args.iters
 
     x = args.split  # report per full batch (split × per-split cost)
-    print(f"per-split ({Bs} imgs, {n_pts/1e6:.1f}M pts); x{args.split} for the step:")
-    print(f"A siren eval fwd : {tA*1e3:7.1f} ms  ({x*tA*1e3:7.1f} ms/step)")
-    print(f"B siren eval grad: {tB*1e3:7.1f} ms  ({x*tB*1e3:7.1f} ms/step)")
-    print(f"C render fwd     : {tC*1e3:7.1f} ms  ({x*tC*1e3:7.1f} ms/step)")
-    print(f"D render grad    : {tD*1e3:7.1f} ms  ({x*tD*1e3:7.1f} ms/step)")
+    ck = max(args.chunks, 1)
+    print(f"per-split: {Bs} imgs, {n_pts/1e6:.1f}M pts (A/B on {n_eval/1e6:.2f}M "
+          f"= 1 chunk); x{args.split} splits for the step:")
+    print(f"A siren eval fwd : {tA*1e3:7.1f} ms/chunk  ({x*ck*tA*1e3:7.1f} ms/step)")
+    print(f"B siren eval grad: {tB*1e3:7.1f} ms/chunk  ({x*ck*tB*1e3:7.1f} ms/step)")
+    print(f"C render fwd     : {tC*1e3:7.1f} ms        ({x*tC*1e3:7.1f} ms/step)")
+    print(f"D render grad    : {tD*1e3:7.1f} ms        ({x*tD*1e3:7.1f} ms/step)")
 
 
 if __name__ == "__main__":
