@@ -77,8 +77,10 @@ def measure_tpu() -> float:
 
     from conditioned_nerf_gan_tpu.models import ImplicitGenerator3d, RenderConfig
 
+    # the shipped policy: fast-sin + bf16 compute (fp32 params and sin
+    # epilogues, bf16 matmul operands and stored activations)
     gen = ImplicitGenerator3d(siren_type="SHORTSIREN", z_dim=Z_DIM, hidden_dim=HIDDEN,
-                              use_fast_sin=True)
+                              use_fast_sin=True, compute_dtype=jnp.bfloat16)
     cfg = RenderConfig(
         img_size=IMG_SIZE, num_steps=NUM_STEPS, fov=49.134342641202636,
         ray_start=0.25, ray_end=1.95, hierarchical_sample=True, white_back=True,

@@ -85,9 +85,33 @@ class TorchLinear(nn.Module):
     fp32_out: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold_scale=None):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (fan_in, self.features))
+        if fold_scale is not None:
+            # FiLM frequency folding: y[b] = x[b] @ (W ⊙ s[b]) + bias ⊙ s[b]
+            # == s[b] ⊙ (x[b] @ W + bias). Folding moves the per-batch scale
+            # into the weights, so its *gradient* falls out of the tiny
+            # (B, k, F) weight-grad batched matmul on the MXU instead of a
+            # pointwise multiply-reduce over every sample point (profiled at
+            # 129 ms/split on v5e — the single largest render-backward op).
+            dt = self.dtype or x.dtype
+            scaled = (kernel[None] * fold_scale[:, None, :]).astype(dt)
+            y = jnp.einsum(
+                "bnk,bkf->bnf", x.astype(dt), scaled,
+                preferred_element_type=jnp.float32,
+            )
+            if self.use_bias:
+                bias = self.param(
+                    "bias",
+                    nn.initializers.zeros if self.bias_init_zero else
+                    (lambda key, shape, d=jnp.float32: jax.random.uniform(
+                        key, shape, d, -1.0 / math.sqrt(fan_in),
+                        1.0 / math.sqrt(fan_in))),
+                    (self.features,),
+                )
+                y = y + (bias * fold_scale)[:, None, :]
+            return y
         if self.dtype is not None:
             if self.fp32_out:
                 # mixed precision with fp32 activations: bf16 operands on the
@@ -134,13 +158,32 @@ class FiLMLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, freq, phase_shift, deterministic: bool = True):
+        sin = fast_sin if self.use_fast_sin else jnp.sin
+        if self.dtype is not None and freq.ndim == 2 and x.ndim == 3:
+            # per-batch FiLM under the bf16 policy: fold freq into the
+            # weights (see TorchLinear.fold_scale) — algebraically identical,
+            # and the freq gradient becomes MXU work instead of a
+            # 1M-point VPU reduction
+            h = TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
+                            dtype=self.dtype)(x, fold_scale=freq)
+            y = sin(h + phase_shift[:, None, :])
+            y = y.astype(self.dtype)
+            if self.drop_out_prob > 0:
+                y = nn.Dropout(self.drop_out_prob)(y, deterministic=deterministic)
+            return y
         x = TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
                         dtype=self.dtype)(x)
         if freq.ndim == x.ndim - 1:
             freq = freq[:, None, :]
             phase_shift = phase_shift[:, None, :]
-        sin = fast_sin if self.use_fast_sin else jnp.sin
         y = sin(freq * x + phase_shift)
+        if self.dtype is not None:
+            # sin is computed in fp32 inside the matmul's fused epilogue, but
+            # the *stored* activation can be bf16: the next layer's matmul
+            # rounds its operand to bf16 anyway, and the SIREN backward is
+            # HBM-bandwidth-bound (measured v5e-1) — fp32 materialization of
+            # (points, hidden) tensors between layers is pure wasted traffic.
+            y = y.astype(self.dtype)
         if self.drop_out_prob > 0:
             y = nn.Dropout(self.drop_out_prob)(y, deterministic=deterministic)
         return y
@@ -160,6 +203,8 @@ class SirenLayer(nn.Module):
         sin = fast_sin if self.use_fast_sin else jnp.sin
         y = sin(TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
                             dtype=self.dtype)(x))
+        if self.dtype is not None:
+            y = y.astype(self.dtype)  # bf16 activation storage (see FiLMLayer)
         if self.drop_out_prob > 0:
             y = nn.Dropout(self.drop_out_prob)(y, deterministic=deterministic)
         return y
@@ -178,9 +223,14 @@ class ResSirenBlock(nn.Module):
         sin = fast_sin if self.use_fast_sin else jnp.sin
         net = sin(TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
                               dtype=self.dtype)(x))
+        if self.dtype is not None:
+            net = net.astype(self.dtype)  # bf16 activation storage
         net = TorchLinear(self.hidden_dim, kernel_init=self.kernel_init,
                           dtype=self.dtype)(net)
-        return sin(x + net)
+        y = sin(x + net)
+        if self.dtype is not None:
+            y = y.astype(self.dtype)
+        return y
 
 
 # ---------------------------------------------------------------------------

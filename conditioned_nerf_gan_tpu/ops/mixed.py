@@ -53,9 +53,14 @@ def _mixed_dot_bwd(dtype, res, g):
     gl = g.astype(dtype)
     # fp32 accumulation, gradients returned in the primal dtypes
     dx = jnp.dot(gl, wl.T, preferred_element_type=jnp.float32).astype(x_dtype)
-    # contract every leading (batch/point) axis: dW = Xᵀ·dY
-    dw = jnp.einsum(
-        "...k,...n->kn", xl, gl, preferred_element_type=jnp.float32
+    # dW = Xᵀ·dY, contracting every leading (batch/point) axis. Collapse to an
+    # explicit 2-D matmul: XLA lowers the equivalent multi-dim-contraction
+    # dot_general (what einsum/AD-transpose emit) to a VPU multiply-reduce
+    # fusion on TPU — profiled at ~34 ms per (1.18M, 256) layer on v5e vs
+    # sub-ms on the MXU.
+    dw = jnp.dot(
+        xl.reshape(-1, xl.shape[-1]).T, gl.reshape(-1, gl.shape[-1]),
+        preferred_element_type=jnp.float32,
     ).astype(w_dtype)
     return dx, dw
 
