@@ -23,9 +23,11 @@ TPU-first differences:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -147,6 +149,14 @@ class ImplicitGenerator3d(nn.Module):
             fine_points, fine_z = jax.lax.stop_gradient(
                 fine_points_fn(coarse_output, z_vals)
             )
+            # Name the (gradient-free, small) fine sample positions so the
+            # ray-chunk remat policy can SAVE them instead of re-running the
+            # whole importance-sampling subgraph (integrate-for-weights +
+            # sample_pdf's dense masks) during the backward pass.
+            fine_points = jax.ad_checkpoint.checkpoint_name(
+                fine_points, "fine_samples"
+            )
+            fine_z = jax.ad_checkpoint.checkpoint_name(fine_z, "fine_samples")
             fine_output = siren_fn(fine_points, z).reshape(B, R, S, 4)
             all_outputs, all_z = merge_sorted_samples(
                 fine_output, fine_z, coarse_output, z_vals
@@ -256,7 +266,12 @@ class ImplicitGenerator3d(nn.Module):
                 for k in (k_fine, k_noise1, k_noise2)
             ], axis=1)  # (chunks, 3, 2)
 
-            @jax.checkpoint
+            @functools.partial(
+                jax.checkpoint,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "fine_samples"
+                ),
+            )
             def chunk_fn(operands):
                 pts, zv, dirs, orig, ks = operands
                 return self._ray_pipeline(

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--no_hier", action="store_true", help="ablation: coarse-only sampling")
     ap.add_argument("--no_photo", action="store_true", help="ablation: drop the photometric loss")
     ap.add_argument("--pcl_points", type=int, default=65536, help="full pcl size before num_points_ratio")
+    ap.add_argument("--split", type=int, default=None, help="override batch_split")
+    ap.add_argument("--chunks", type=int, default=None, help="override ray_chunks")
     args = ap.parse_args()
 
     from conditioned_nerf_gan_tpu.config import extract_metadata, load_curriculum
@@ -55,6 +57,10 @@ def main():
         meta["hierarchical_sample"] = False
     if args.no_photo:
         meta["photo_loss"] = False
+    if args.split is not None:
+        meta["batch_split"] = args.split
+    if args.chunks is not None:
+        meta["ray_chunks"] = args.chunks
 
     dtype_name = meta.get("compute_dtype")
     compute_dtype = jnp.dtype(dtype_name) if dtype_name else None
