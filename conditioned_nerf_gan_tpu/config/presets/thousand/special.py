@@ -11,8 +11,9 @@ from .default import upsample_step
 
 # batch_split / ray_chunks are the TPU memory knobs, measured on a v5e-1
 # (16 GB HBM): the reference's batch_split 2/6/6/6 was tuned for an A40 and
-# costs 3.6 s/step at stage 2; batch_split 2 + rematerialized ray_chunks 8
-# runs 2.2 s/step and fits 16 GB (unchunked split=1 would need ~67 GB).
+# costs 3.6 s/step at stage 2; with the bf16 policy, batch_split 1 +
+# rematerialized ray_chunks 16 runs 1.27 s/step and fits 16 GB (split 1
+# unchunked would need ~67 GB; split 2 + chunks 8 measures 1.32).
 # grad_accum_scale pins the *effective* gradient to the reference's
 # batch_split × mean semantics so the tuned lrs keep their meaning.
 special = {
@@ -29,14 +30,14 @@ special = {
     },
     upsample_step[2]: {
         "batch_size": 12,
-        "batch_split": 2,
-        "ray_chunks": 8,
+        "batch_split": 1,
+        "ray_chunks": 16,
         "grad_accum_scale": 6,
     },
     upsample_step[3]: {
         "batch_size": 12,
-        "batch_split": 2,
-        "ray_chunks": 8,
+        "batch_split": 1,
+        "ray_chunks": 16,
         "grad_accum_scale": 6,
         "num_steps": 48,
     },

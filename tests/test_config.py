@@ -34,7 +34,7 @@ def test_load_thousand_special_overlay():
     assert meta1["grad_accum_scale"] == 6
     meta3 = extract_metadata(cur, 30000)
     assert meta3["img_size"] == 128 and meta3["num_steps"] == 48  # special overrides 64
-    assert meta3["ray_chunks"] == 8 and meta3["batch_size"] % meta3["batch_split"] == 0
+    assert meta3["ray_chunks"] == 16 and meta3["batch_size"] % meta3["batch_split"] == 0
 
 
 def test_experiment_config_overlay():
