@@ -85,9 +85,35 @@ class TorchLinear(nn.Module):
     fp32_out: bool = True
 
     @nn.compact
-    def __call__(self, x, fold_scale=None):
-        fan_in = x.shape[-1]
+    def __call__(self, x, fold_scale=None, extra=None):
+        """extra: optional (B, 1, K_e) operand that is constant over the
+        point axis. The layer then behaves exactly like
+        `self(concat([x, broadcast(extra)], -1))` — same param shapes/init —
+        but computes the extra contribution as a once-per-batch matmul
+        instead of widening every per-point matmul (PointNet's pooled-context
+        concat doubles fan_in; the pooled half is N-invariant)."""
+        fan_in = x.shape[-1] + (extra.shape[-1] if extra is not None else 0)
         kernel = self.param("kernel", self.kernel_init, (fan_in, self.features))
+        if extra is not None:
+            dx = x.shape[-1]
+            k_x, k_e = kernel[:dx], kernel[dx:]
+            if self.dtype is not None:
+                y = jnp.dot(x.astype(self.dtype), k_x.astype(self.dtype))
+                y = y + jnp.dot(extra.astype(self.dtype),
+                                k_e.astype(self.dtype))
+            else:
+                y = jnp.dot(x, k_x) + jnp.dot(extra, k_e)
+            if self.use_bias:
+                bound = 1.0 / math.sqrt(fan_in)
+                bias = self.param(
+                    "bias",
+                    nn.initializers.zeros if self.bias_init_zero else
+                    (lambda key, shape, d=jnp.float32: jax.random.uniform(
+                        key, shape, d, -bound, bound)),
+                    (self.features,),
+                )
+                y = y + bias.astype(y.dtype)
+            return y
         if fold_scale is not None:
             # FiLM frequency folding: y[b] = x[b] @ (W ⊙ s[b]) + bias ⊙ s[b]
             # == s[b] ⊙ (x[b] @ W + bias). Folding moves the per-batch scale

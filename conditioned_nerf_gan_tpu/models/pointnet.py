@@ -26,12 +26,20 @@ class ResnetBlockFC(nn.Module):
     dtype: jnp.dtype | None = None  # AMP policy: bf16 matmuls AND activations
 
     @nn.compact
-    def __call__(self, x):
-        size_in = x.shape[-1]
+    def __call__(self, x, pooled=None):
+        """pooled: optional (B, 1, F) point-invariant context. Equivalent to
+        calling on `concat([x, broadcast(pooled)], -1)` (same params), but
+        the pooled contribution costs one per-batch matmul instead of
+        doubling every per-point matmul's fan_in (exact: relu and matmul
+        both distribute over the concat split)."""
+        size_in = x.shape[-1] + (pooled.shape[-1] if pooled is not None else 0)
         size_h = self.size_h or min(size_in, self.size_out)
         amp = dict(dtype=self.dtype, fp32_out=False)
 
-        net = TorchLinear(size_h, name="fc_0", **amp)(nn.relu(x))
+        relu_pooled = nn.relu(pooled) if pooled is not None else None
+        net = TorchLinear(size_h, name="fc_0", **amp)(
+            nn.relu(x), extra=relu_pooled
+        )
         dx = TorchLinear(
             self.size_out, kernel_init=nn.initializers.zeros, name="fc_1", **amp
         )(nn.relu(net))
@@ -39,7 +47,7 @@ class ResnetBlockFC(nn.Module):
             x_s = x
         else:
             x_s = TorchLinear(self.size_out, use_bias=False, name="shortcut",
-                              **amp)(x)
+                              **amp)(x, extra=pooled)
         return x_s.astype(dx.dtype) + dx
 
 
@@ -64,9 +72,9 @@ class ResnetPointnet(nn.Module):
         net = ResnetBlockFC(h, name="block_0", dtype=self.dtype)(net)
         for i in range(1, 5):
             pooled = jnp.max(net, axis=1, keepdims=True)
-            pooled = jnp.broadcast_to(pooled, net.shape)
-            net = jnp.concatenate([net, pooled], axis=2)
-            net = ResnetBlockFC(h, name=f"block_{i}", dtype=self.dtype)(net)
+            net = ResnetBlockFC(h, name=f"block_{i}", dtype=self.dtype)(
+                net, pooled=pooled
+            )
         net = jnp.max(net, axis=1)
         # final latent in fp32: encode_pcl's whitening (mean/std, ddof=1)
         # needs fp32 resolution
