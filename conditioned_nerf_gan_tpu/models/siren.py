@@ -286,6 +286,8 @@ class SpatialSirenBaseline(nn.Module):
     hidden_dim: int = 256
     output_dim: int = 4
     drop_out: float = 0.0
+    compute_dtype: jnp.dtype | None = None
+    use_fast_sin: bool = False
 
     @nn.compact
     def __call__(self, points, z, ray_directions=None, deterministic: bool = True):
@@ -298,26 +300,32 @@ class SpatialSirenBaseline(nn.Module):
 
         x = UniformBoxWarp(0.24)(points)
         finit = frequency_init(25)
+        film = dict(dtype=self.compute_dtype, use_fast_sin=self.use_fast_sin)
         for idx in range(n_layers):
             kinit = first_layer_film_sine_init if idx == 0 else finit
             lo, hi = idx * self.hidden_dim, (idx + 1) * self.hidden_dim
             x = FiLMLayer(self.hidden_dim, kernel_init=kinit,
-                          drop_out_prob=self.drop_out)(
+                          drop_out_prob=self.drop_out, **film)(
                 x, freq[..., lo:hi], phase[..., lo:hi], deterministic=deterministic
             )
 
-        sigma = TorchLinear(1, kernel_init=finit, name="final_layer")(x)
+        sigma = TorchLinear(1, kernel_init=finit, dtype=self.compute_dtype,
+                            name="final_layer")(x)
         if ray_directions is None:
             ray_directions = jnp.zeros_like(points)
-        color_in = jnp.concatenate([ray_directions, x], axis=-1)
-        rgb = FiLMLayer(self.hidden_dim, kernel_init=finit, name="color_layer_sine")(
+        color_in = jnp.concatenate(
+            [ray_directions.astype(x.dtype), x], axis=-1
+        )
+        rgb = FiLMLayer(self.hidden_dim, kernel_init=finit, **film,
+                        name="color_layer_sine")(
             color_in, freq[..., -self.hidden_dim:], phase[..., -self.hidden_dim:],
             deterministic=deterministic,
         )
         rgb = jax.nn.sigmoid(
-            TorchLinear(3, kernel_init=finit, name="color_layer_linear")(rgb)
+            TorchLinear(3, kernel_init=finit, dtype=self.compute_dtype,
+                        name="color_layer_linear")(rgb)
         )
-        return jnp.concatenate([rgb, sigma], axis=-1)
+        return jnp.concatenate([rgb, sigma.astype(rgb.dtype)], axis=-1)
 
 
 class EmbeddingPiGAN(nn.Module):
@@ -335,6 +343,8 @@ class EmbeddingPiGAN(nn.Module):
     drop_out: float = 0.0
     embedding_res: int = 96
     embedding_scale: float = 0.01
+    compute_dtype: jnp.dtype | None = None
+    use_fast_sin: bool = False
 
     @nn.compact
     def __call__(self, points, z, ray_directions=None, deterministic: bool = True):
@@ -359,6 +369,7 @@ class EmbeddingPiGAN(nn.Module):
         x = jnp.concatenate([shared, warped], axis=-1)
 
         finit = frequency_init(25)
+        film = dict(dtype=self.compute_dtype, use_fast_sin=self.use_fast_sin)
 
         def modified_first_init(key, shape, dtype=jnp.float32):
             # reference `modified_first_sine_init` uses num_input=3 regardless
@@ -368,22 +379,27 @@ class EmbeddingPiGAN(nn.Module):
             kinit = modified_first_init if idx == 0 else finit
             lo, hi = idx * self.hidden_dim, (idx + 1) * self.hidden_dim
             x = FiLMLayer(self.hidden_dim, kernel_init=kinit,
-                          drop_out_prob=self.drop_out)(
+                          drop_out_prob=self.drop_out, **film)(
                 x, freq[..., lo:hi], phase[..., lo:hi], deterministic=deterministic
             )
 
-        sigma = TorchLinear(1, kernel_init=finit, name="final_layer")(x)
+        sigma = TorchLinear(1, kernel_init=finit, dtype=self.compute_dtype,
+                            name="final_layer")(x)
         if ray_directions is None:
             ray_directions = jnp.zeros_like(points)
-        color_in = jnp.concatenate([ray_directions, x], axis=-1)
-        rgb = FiLMLayer(self.hidden_dim, kernel_init=finit, name="color_layer_sine")(
+        color_in = jnp.concatenate(
+            [ray_directions.astype(x.dtype), x], axis=-1
+        )
+        rgb = FiLMLayer(self.hidden_dim, kernel_init=finit, **film,
+                        name="color_layer_sine")(
             color_in, freq[..., -self.hidden_dim:], phase[..., -self.hidden_dim:],
             deterministic=deterministic,
         )
         rgb = jax.nn.sigmoid(
-            TorchLinear(3, kernel_init=finit, name="color_layer_linear")(rgb)
+            TorchLinear(3, kernel_init=finit, dtype=self.compute_dtype,
+                        name="color_layer_linear")(rgb)
         )
-        return jnp.concatenate([rgb, sigma], axis=-1)
+        return jnp.concatenate([rgb, sigma.astype(rgb.dtype)], axis=-1)
 
 
 def make_siren(
@@ -416,20 +432,21 @@ def make_siren(
             use_pallas=use_pallas,
             use_fast_sin=use_fast_sin,
         )
+    legacy = dict(compute_dtype=compute_dtype, use_fast_sin=use_fast_sin)
     if siren_type == "SPATIALSIRENBASELINE":
         return SpatialSirenBaseline(
             z_dim=z_dim, hidden_dim=hidden_dim, output_dim=output_dim,
-            drop_out=drop_out,
+            drop_out=drop_out, **legacy,
         )
     if siren_type == "EmbeddingPiGAN128":
         return EmbeddingPiGAN(
             z_dim=z_dim, hidden_dim=128, output_dim=output_dim, drop_out=drop_out,
-            embedding_res=96, embedding_scale=0.01,
+            embedding_res=96, embedding_scale=0.01, **legacy,
         )
     if siren_type == "EmbeddingPiGAN256":
         return EmbeddingPiGAN(
             z_dim=z_dim, hidden_dim=256, output_dim=output_dim, drop_out=drop_out,
-            embedding_res=64, embedding_scale=0.1,
+            embedding_res=64, embedding_scale=0.1, **legacy,
         )
     raise ValueError(f"Unknown siren_type {siren_type!r}")
 

@@ -35,17 +35,21 @@ def main():
     ap.add_argument("--pcl_points", type=int, default=65536, help="full pcl size before num_points_ratio")
     ap.add_argument("--split", type=int, default=None, help="override batch_split")
     ap.add_argument("--chunks", type=int, default=None, help="override ray_chunks")
+    ap.add_argument("--config", type=str, default=None,
+                    help="thousand experiment overlay (e.g. dg_shortsiren_dis for the voxel/U-Net family)")
+    ap.add_argument("--batch", type=int, default=None, help="override batch_size")
     args = ap.parse_args()
 
     from conditioned_nerf_gan_tpu.config import extract_metadata, load_curriculum
+    from conditioned_nerf_gan_tpu.config.presets import resolve_siren_alias
     from conditioned_nerf_gan_tpu.models import (
-        ImplicitGenerator3d, ResnetPointnet, make_discriminator,
+        ImplicitGenerator3d, ResnetPointnet, make_discriminator, make_unet,
     )
     from conditioned_nerf_gan_tpu.training import (
         TrainStepConfig, create_train_state, make_train_step,
     )
 
-    cur = load_curriculum(config_base="thousand")
+    cur = load_curriculum(config_base="thousand", config=args.config)
     stage_steps = sorted(k for k in cur if isinstance(k, int))
     step_at = stage_steps[args.stage]
     meta = extract_metadata(cur, step_at)
@@ -61,17 +65,26 @@ def main():
         meta["batch_split"] = args.split
     if args.chunks is not None:
         meta["ray_chunks"] = args.chunks
+    if args.batch is not None:
+        meta["batch_size"] = args.batch
 
     dtype_name = meta.get("compute_dtype")
     compute_dtype = jnp.dtype(dtype_name) if dtype_name else None
     gen_meta = meta["generator"]
     gen = ImplicitGenerator3d(
-        siren_type=gen_meta["siren_type"], z_dim=gen_meta["z_dim"],
+        siren_type=resolve_siren_alias(gen_meta["siren_type"]),
+        z_dim=gen_meta["z_dim"],
+        input_dim=gen_meta.get("input_dim", 3),
+        output_dim=gen_meta.get("output_dim", 4),
         hidden_dim=gen_meta.get("hidden_dim", 256),
         compute_dtype=compute_dtype,
         use_fast_sin=meta.get("use_fast_sin", False),
     )
-    enc = ResnetPointnet(c_dim=gen_meta["z_dim"], dtype=compute_dtype)
+    load_voxel = meta["dataset"].get("load_voxel", False)
+    if load_voxel:
+        enc = make_unet(dtype=compute_dtype, **meta["unet"])
+    else:
+        enc = ResnetPointnet(c_dim=gen_meta["z_dim"], dtype=compute_dtype)
     disc = (make_discriminator(meta["discriminator"], dtype=compute_dtype)
             if meta["enable_discriminator"] else None)
     cfg = TrainStepConfig.from_metadata(meta)
@@ -83,11 +96,17 @@ def main():
     batch = {
         "img": rng.uniform(-1, 1, (B, img, img, 3)).astype(np.float32),
         "cam2world": np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy(),
-        "pcl": rng.uniform(-0.4, 0.4, (B, n_pts, 6)).astype(np.float32),
     }
+    if load_voxel:
+        vres = meta.get("voxel_resolution", 64)
+        batch["voxel"] = rng.uniform(0, 1, (B, vres, vres, vres, 4)).astype(np.float32)
+        cond_desc = f"voxel {vres}^3"
+    else:
+        batch["pcl"] = rng.uniform(-0.4, 0.4, (B, n_pts, 6)).astype(np.float32)
+        cond_desc = f"pcl {n_pts}"
     print(f"stage {args.stage}: img {img}, batch {B} (split {cfg.batch_split}, "
           f"ray_chunks {cfg.render.ray_chunks}), num_steps {cfg.render.num_steps}, "
-          f"pcl {n_pts}, dtype {dtype_name or 'float32'}")
+          f"{cond_desc}, dtype {dtype_name or 'float32'}")
 
     key = jax.random.PRNGKey(0)
     state = jax.jit(lambda k, b: create_train_state(k, gen, enc, disc, b, cfg))(
