@@ -438,3 +438,85 @@ def test_siren_variants_smoke(siren_type):
     )(jax.random.PRNGKey(0))
     shape = jax.eval_shape(lambda p: model.apply(p, pts, z), out)
     assert shape.shape == (B, N, 4)
+
+
+def test_film_frequency_folding_matches_reference_formulation():
+    """Under the bf16 policy the FiLM layer folds freq into the weights
+    (layers.py fold path); it must match the reference formulation
+    sin(freq*(xW+b)+phase) to bf16 tolerance with identical params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from conditioned_nerf_gan_tpu.models.layers import FiLMLayer
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(3, 50, 16)).astype(np.float32))
+    freq = jnp.asarray(rng.uniform(25, 45, (3, 24)).astype(np.float32))
+    phase = jnp.asarray(rng.normal(size=(3, 24)).astype(np.float32))
+
+    l_ref = FiLMLayer(24)
+    l_fold = FiLMLayer(24, dtype=jnp.bfloat16)
+    params = l_ref.init(jax.random.PRNGKey(0), x, freq, phase)
+    # same param tree for both paths
+    assert jax.tree.structure(params) == jax.tree.structure(
+        l_fold.init(jax.random.PRNGKey(0), x, freq, phase)
+    )
+    y_ref = l_ref.apply(params, x, freq, phase)
+    y_fold = l_fold.apply(params, x, freq, phase).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),
+                               atol=0.05)
+
+    # freq gradient through the fold matches the reference formulation
+    gf = jax.grad(lambda f: jnp.mean(
+        l_fold.apply(params, x, f, phase).astype(jnp.float32) ** 2))(freq)
+    gr = jax.grad(lambda f: jnp.mean(l_ref.apply(params, x, f, phase) ** 2))(freq)
+    rel = float(jnp.max(jnp.abs(gf - gr)) / (jnp.max(jnp.abs(gr)) + 1e-9))
+    assert rel < 0.1, rel
+
+
+def test_pointnet_pooled_split_matches_concat():
+    """ResnetPointnet computes the pooled context as a once-per-batch matmul
+    (TorchLinear extra operand); must equal the reference concat formulation
+    exactly (relu and matmul distribute over the concat split)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+    from conditioned_nerf_gan_tpu.models.layers import TorchLinear
+    from conditioned_nerf_gan_tpu.models.pointnet import ResnetPointnet
+
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.uniform(-0.4, 0.4, (2, 100, 6)).astype(np.float32))
+    net = ResnetPointnet(c_dim=32, hidden_dim=16)
+    params = net.init(jax.random.PRNGKey(0), p)
+
+    class RefBlock(nn.Module):
+        size_out: int
+
+        @nn.compact
+        def __call__(self, x):
+            size_h = min(x.shape[-1], self.size_out)
+            h = TorchLinear(size_h, name="fc_0")(nn.relu(x))
+            dx = TorchLinear(self.size_out, kernel_init=nn.initializers.zeros,
+                             name="fc_1")(nn.relu(h))
+            x_s = x if x.shape[-1] == self.size_out else TorchLinear(
+                self.size_out, use_bias=False, name="shortcut")(x)
+            return x_s + dx
+
+    class RefPointnet(nn.Module):
+        @nn.compact
+        def __call__(self, p):
+            h = 16
+            x = TorchLinear(2 * h, name="fc_pos")(p)
+            x = RefBlock(h, name="block_0")(x)
+            for i in range(1, 5):
+                pooled = jnp.broadcast_to(
+                    jnp.max(x, axis=1, keepdims=True), x.shape)
+                x = RefBlock(h, name=f"block_{i}")(
+                    jnp.concatenate([x, pooled], axis=2))
+            x = jnp.max(x, axis=1)
+            return TorchLinear(32, name="fc_c")(nn.relu(x))
+
+    y_new = net.apply(params, p)
+    y_ref = RefPointnet().apply(params, p)
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref), atol=1e-5)
