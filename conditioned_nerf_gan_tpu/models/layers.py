@@ -92,6 +92,8 @@ class TorchLinear(nn.Module):
         but computes the extra contribution as a once-per-batch matmul
         instead of widening every per-point matmul (PointNet's pooled-context
         concat doubles fan_in; the pooled half is N-invariant)."""
+        if fold_scale is not None and extra is not None:
+            raise ValueError("fold_scale and extra are mutually exclusive")
         fan_in = x.shape[-1] + (extra.shape[-1] if extra is not None else 0)
         kernel = self.param("kernel", self.kernel_init, (fan_in, self.features))
         if extra is not None:
