@@ -190,7 +190,10 @@ class Inferencer:
                 k, self.generator, self.encoder, discriminator, b, cfg
             )
         )(jax.random.PRNGKey(0), batch)
-        state, _ = restore_checkpoint(self.checkpoint_path, template)
+        # params_only: inference needs no optimizer state, and this keeps
+        # old checkpoints loadable across optax-chain changes
+        state, _ = restore_checkpoint(self.checkpoint_path, template,
+                                      params_only=True)
         self.params_G = state.params_G
         self.params_E = state.params_E
 

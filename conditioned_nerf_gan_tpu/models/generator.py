@@ -212,6 +212,11 @@ class ImplicitGenerator3d(nn.Module):
         W = H = config.img_size
         if render_rows is not None:
             H = render_rows
+            if row_offset is None:
+                # a row slab without an explicit offset means rows [0, H) —
+                # without this, pixel_rays would silently squash the full
+                # vertical fov into the slab
+                row_offset = 0
         use_noise = rng is not None
 
         if rng is None:

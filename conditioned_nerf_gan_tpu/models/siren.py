@@ -210,9 +210,18 @@ class ConditionedSiren(nn.Module):
             self.use_pallas
             and not self.is_initializing()
             and all(k == "film" for k in spec.layers)
+            # the kernel stacks the trunk layers beyond the first — a
+            # single-film spec (SingleSIREN_dg) has nothing to stack
+            and len(spec.layers) >= 2
             and freq is not None
             and freq.ndim == 2
             and self.drop_out == 0
+            # the kernel hardcodes fast_sin + bf16 matmuls (and its custom
+            # VJP differentiates that same policy); only route when the
+            # module is configured to match, so use_pallas can't silently
+            # override the precision/sin config
+            and self.use_fast_sin
+            and self.compute_dtype == jnp.bfloat16
         ):
             from ..ops.pallas.film_siren import film_siren_mlp
 

@@ -17,6 +17,38 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# compiled shard_map renders, keyed on everything shape/graph-affecting.
+# fov / nerf_noise / the PRNG key are *traced* arguments so per-frame fov
+# sweeps (orbit videos) reuse one executable instead of recompiling — the
+# remote-TPU compile cost makes a per-frame retrace pathological.
+_FN_CACHE: dict = {}
+
+
+def _sharded_render_fn(generator, config, mesh, axis_name, use_noise):
+    cache_key = (generator, config, mesh, axis_name, use_noise)
+    fn = _FN_CACHE.get(cache_key)
+    if fn is not None:
+        return fn
+    rows = config.img_size // mesh.devices.size
+
+    def local(params, z, cams, key, nerf_noise, fov):
+        idx = jax.lax.axis_index(axis_name)
+        k = jax.random.fold_in(key, idx) if use_noise else None
+        return generator.apply(
+            params, z, cams, config, rng=k, nerf_noise=nerf_noise,
+            deterministic=True, fov=fov,
+            row_offset=idx * rows, render_rows=rows,
+        )
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(),) * 6,
+        out_specs=(P(None, axis_name), P(None, axis_name)),
+        check_vma=False,
+    ))
+    _FN_CACHE[cache_key] = fn
+    return fn
+
 
 def render_ray_sharded(
     generator,
@@ -43,25 +75,11 @@ def render_ray_sharded(
     H = config.img_size
     if H % n != 0:
         raise ValueError(f"img_size {H} must divide over {n} devices")
-    rows = H // n
 
-    def local(params, z, cams, key):
-        idx = jax.lax.axis_index(axis_name)
-        k = None if rng is None else jax.random.fold_in(key, idx)
-        px, depth = generator.apply(
-            params, z, cams, config, rng=k, nerf_noise=nerf_noise,
-            deterministic=True, fov=fov,
-            row_offset=idx * rows, render_rows=rows,
-        )
-        return px, depth
-
+    fn = _sharded_render_fn(generator, config, mesh, axis_name, rng is not None)
     key = jax.random.PRNGKey(0) if rng is None else rng
-    fn = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
-        out_specs=(P(None, axis_name), P(None, axis_name)),
-        check_vma=False,
-    )
+    fov_t = jnp.float32(config.fov if fov is None else fov)
+    noise_t = jnp.float32(nerf_noise)
     repl = NamedSharding(mesh, P())
     params, z, cam2world, key = jax.device_put((params, z, cam2world, key), repl)
-    return jax.jit(fn)(params, z, cam2world, key)
+    return fn(params, z, cam2world, key, noise_t, fov_t)

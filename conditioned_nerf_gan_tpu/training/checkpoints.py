@@ -8,6 +8,13 @@ state + loss histories; the step counter re-derives every schedule).
 Format: one msgpack file per step (`{step}.ckpt`, flax.serialization of the
 TrainState pytree) plus a sidecar `{step}.json` with loss histories — the
 functional analogue of the reference's torch .tar dict.
+
+Compatibility: full restore targets the *current* TrainState template, so
+the optimizer-state pytree must structurally match the optax chain that
+wrote the checkpoint — Trainer auto-resume across a chain change (like the
+r2 mapping-lr/coupled-decay rework) raises a structure mismatch rather than
+resuming silently wrong. Inference uses `params_only=True`, which survives
+such changes (it never needs the optimizer state).
 """
 
 from __future__ import annotations
@@ -44,13 +51,34 @@ def save_checkpoint(
     return path
 
 
-def restore_checkpoint(path: str | Path, template_state: Any):
+def restore_checkpoint(path: str | Path, template_state: Any,
+                       params_only: bool = False):
     """Restore into a structurally-identical template TrainState.
+
+    `params_only=True` restores just the model param subtrees (params_G/E/D),
+    keeping the template's fresh optimizer state — tolerant of checkpoints
+    written by a different optax chain composition (inference never needs the
+    optimizer state).
 
     Returns (state, histories) — histories {} if no sidecar exists.
     """
     path = Path(path)
-    state = serialization.from_bytes(template_state, path.read_bytes())
+    if params_only:
+        raw = serialization.msgpack_restore(path.read_bytes())
+        state = template_state
+        for name in ("params_G", "params_E", "params_D"):
+            tmpl = getattr(template_state, name)
+            if tmpl is not None and raw.get(name) is not None:
+                restored = serialization.from_state_dict(tmpl, raw[name],
+                                                         name=name)
+                state = state.replace(**{name: restored})
+        if "step" in raw:
+            state = state.replace(
+                step=serialization.from_state_dict(template_state.step,
+                                                   raw["step"], name="step")
+            )
+    else:
+        state = serialization.from_bytes(template_state, path.read_bytes())
     sidecar = path.with_suffix(".json")
     histories = json.loads(sidecar.read_text()) if sidecar.exists() else {}
     return state, histories

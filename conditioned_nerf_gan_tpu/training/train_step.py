@@ -96,9 +96,11 @@ class TrainStepConfig:
     # pi-GAN's mapping-network stabilization trick: the SIREN mapping net
     # trains at gen_lr * mapping_lr_mult. The reference keeps the logic at
     # utils.py:507-509 but ships optimizer_G with a single anonymous param
-    # group (utils.py:328-332) so it never fires there; we make it a real,
+    # group (utils.py:328-332), so the 5e-2 branch never fires there and the
+    # mapping net actually trains at full gen_lr — the parity default is
+    # therefore 1.0, with upstream pi-GAN's 5e-2 available as a real,
     # curriculum-controlled knob (metadata key "mapping_lr_mult").
-    mapping_lr_mult: float = 5e-2
+    mapping_lr_mult: float = 1.0
 
     @classmethod
     def from_metadata(cls, metadata: dict, **overrides) -> "TrainStepConfig":
@@ -126,7 +128,7 @@ class TrainStepConfig:
             enc_lr=metadata.get("enc_lr", metadata["gen_lr"]),
             betas=tuple(metadata.get("betas", (0.0, 0.9))),
             weight_decay=metadata.get("weight_decay", 0.0),
-            mapping_lr_mult=metadata.get("mapping_lr_mult", 5e-2),
+            mapping_lr_mult=metadata.get("mapping_lr_mult", 1.0),
         )
         kwargs.update(overrides)
         return cls(**kwargs)

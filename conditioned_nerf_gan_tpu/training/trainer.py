@@ -255,8 +255,17 @@ class Trainer:
         thousand curriculum's step-25000 num_steps 48→64 transition fire.
         """
         new_meta = extract_metadata(self.curriculum, self.step)
+        # dataloader-affecting fields get their own flag: an lr-/num_steps-
+        # only milestone must recompile the step but should NOT abandon the
+        # rest of the epoch and respawn workers (reference reloads the
+        # dataloader only on batch/img changes, train.py:84-88)
+        self._data_changed = any(
+            new_meta.get(k) != self.metadata.get(k)
+            for k in ("batch_size", "img_size", "num_points_ratio",
+                      "voxel_resolution")
+        ) or new_meta["dataset"] != self.metadata["dataset"]
         changed = (
-            new_meta["batch_size"] != self.metadata["batch_size"]
+            self._data_changed
             or TrainStepConfig.from_metadata(new_meta) != self.step_config
         )
         self.metadata = new_meta
@@ -347,11 +356,18 @@ class Trainer:
             restart_epoch = False
             for batch in dataloader:
                 if self.update_metadata():
-                    print(f"Metadata updated at step {self.step}. Reload dataset.")
-                    dataloader = self._make_dataloader()
+                    if self._data_changed:
+                        print(f"Metadata updated at step {self.step}. "
+                              "Reload dataset.")
+                        dataloader = self._make_dataloader()
+                        self._rebuild_step_fn()
+                        restart_epoch = True
+                        break
+                    # compile-affecting-only change (num_steps / lrs /
+                    # z_reg …): swap the compiled step, keep the epoch
+                    print(f"Metadata updated at step {self.step}. "
+                          "Recompiled train step.")
                     self._rebuild_step_fn()
-                    restart_epoch = True
-                    break
 
                 self.set_alpha()
                 # profiler hook (the reference's vestigial @profile decorators,
