@@ -13,7 +13,12 @@ from copy import deepcopy
 from .default import upsample_step
 
 dg = {
-    upsample_step[0]: {"batch_size": 24},
+    # batch_split 2 is the TPU stage-0 memory knob for the voxel family
+    # (batch 24 × 64³ U-Net + feature-volume render needs >16 GB unsplit on
+    # v5e; the special.py grad_accum_scale 2 already matches the reference's
+    # effective-gradient semantics at this stage). ray_chunks bounds the
+    # per-split render activations the same way as the pcl path.
+    upsample_step[0]: {"batch_size": 24, "batch_split": 2, "ray_chunks": 4},
     "enable_discriminator": False,
     "generator": {
         "siren_type": "TALLSIREN_dg",
@@ -90,7 +95,7 @@ dRes = {
 }
 
 indirect = {
-    upsample_step[0]: {"batch_size": 24},
+    upsample_step[0]: {"batch_size": 24, "batch_split": 2, "ray_chunks": 4},
     upsample_step[2]: {"batch_split": 12},
     upsample_step[3]: {"batch_split": 12},
     "enable_discriminator": False,

@@ -9,7 +9,7 @@ from copy import deepcopy
 from .default import upsample_step
 
 cond_nearest = {
-    upsample_step[0]: {"batch_size": 24},
+    upsample_step[0]: {"batch_size": 24, "batch_split": 2, "ray_chunks": 4},
     "enable_discriminator": True,
     "generator": {
         "siren_type": "TALLSIREN_dg",
@@ -55,7 +55,7 @@ cond_random_nophotoloss = deepcopy(cond_nearest_nophotoloss)
 cond_random_nophotoloss["dataset"]["cond_mode"] = "random"
 
 proj_random = {
-    upsample_step[0]: {"batch_size": 24, "batch_split": 2},
+    upsample_step[0]: {"batch_size": 24, "batch_split": 2, "ray_chunks": 4},
     "enable_discriminator": True,
     "generator": {
         "siren_type": "TALLSIREN_dg",
@@ -78,7 +78,7 @@ proj_random = {
 }
 
 chair_doublesiren_nophotoloss = {
-    upsample_step[0]: {"batch_size": 24},
+    upsample_step[0]: {"batch_size": 24, "batch_split": 2, "ray_chunks": 4},
     "enable_discriminator": True,
     "generator": {
         "siren_type": "DoubleSIREN_dg",

@@ -36,7 +36,12 @@ def _unnormalize(coord: jax.Array, size: int, align_corners: bool) -> jax.Array:
 
 # Volumes up to this many elements use the neighbor-expanded layout (4×
 # memory, single-segment gathers); larger ones use (2,2,2,C) block gathers.
-_EXPAND_MAX_ELEMS = 16 * 1024 * 1024
+# Batch-total volume elements (B·D·H·W·C) up to which the expanded-copy
+# gather strategy is used; its 4C expansion costs 16 bytes/elem per live
+# copy, so 80M elems ≈ 1.3 GB — the measured-fast strategy at the thesis
+# FG shapes (B=8, 64³×32 = 67M) while big-batch voxel configs (B≥12) fall
+# back to the copy-free block gather and fit 16 GB HBM.
+_EXPAND_MAX_ELEMS = 80 * 1024 * 1024
 
 
 def _anchor_fractions(fx, fy, fz, D, H, W):
@@ -227,9 +232,17 @@ def _block_gather_blocks(volume: jax.Array, ix, iy, iz) -> jax.Array:
 
 
 def _blocks_for(volume, ix, iy, iz):
-    """Pick the gather strategy by volume size (see _EXPAND_MAX_ELEMS)."""
+    """Pick the gather strategy by the *batch-total* expanded size.
+
+    The expanded strategy materializes a 4C-channel copy of the whole batch
+    of volumes (and XLA keeps several alive across coarse/fine evals), so
+    the memory heuristic must include B: at the reference dg stage-0 shape
+    (B=24, 64³×32ch) the expansion is 3 GB per live copy and OOMs a 16 GB
+    chip, while the 4-segment block gather needs no copy and is only ~25%
+    slower per point.
+    """
     B, D, H, W, C = volume.shape
-    if D * H * W * C <= _EXPAND_MAX_ELEMS:
+    if B * D * H * W * C <= _EXPAND_MAX_ELEMS:
         return _gather_blocks(volume, ix, iy, iz)
     return _block_gather_blocks(volume, ix, iy, iz)
 
