@@ -173,8 +173,22 @@ def test_num_steps_only_stage_transition(train_env, monkeypatch):
     trainer.load_models()
     assert trainer.step_config.render.num_steps == stage0["num_steps"]
     assert trainer.step_config.z_reg_weight == stage0["z_reg_weight"]
+    # a compile-affecting-only milestone must NOT restart the dataloader /
+    # abandon the epoch (reference reloads it only on batch/img changes,
+    # train.py:84-88); count rebuilds to pin the distinction
+    reloads = []
+    orig = Trainer._make_dataloader
+
+    def counting(self):
+        reloads.append(self.step)
+        return orig(self)
+
+    monkeypatch.setattr(Trainer, "_make_dataloader", counting)
     trainer.train()
     # after crossing step 3 the compiled config must carry the new values
     assert trainer.step_config.render.num_steps == stage1["num_steps"]
     assert trainer.step_config.z_reg_weight == 5e-4
     assert trainer.metadata["num_steps"] == stage1["num_steps"]
+    # only the initial dataloader construction — the milestone recompiled
+    # the step without a reload
+    assert len(reloads) == 1, reloads
