@@ -59,6 +59,14 @@ class RenderConfig:
     fill_mode: str | None = None
     perturb: bool = True
     ray_chunks: int = 0  # >1: rematerialized ray-chunked rendering
+    # static density-noise gate: nerf_noise is a *traced* scalar (no
+    # recompile as it decays), but the reference schedule is exactly 0 from
+    # step 5000 on (utils.py:618) — stages past that pay threefry + a ×0
+    # multiply per integrate for nothing. The trainer clears this per stage
+    # when the schedule has hit zero; stratified-perturbation and stochastic
+    # fine sampling are unaffected (they follow rng presence, as in the
+    # reference).
+    density_noise: bool = True
 
     @classmethod
     def from_metadata(cls, metadata: dict, **overrides) -> "RenderConfig":
@@ -124,13 +132,14 @@ class ImplicitGenerator3d(nn.Module):
             B, R, S, 4
         )
 
+        use_dnoise = use_noise and config.density_noise
         if config.hierarchical_sample:
             # importance resampling, fully detached (generators.py:111-152)
             def fine_points_fn(coarse_output, z_vals):
                 _, _, weights = volume_integrate(
                     coarse_output, z_vals,
-                    noise_std=nerf_noise if use_noise else 0.0,
-                    key=k_noise1 if use_noise else None,
+                    noise_std=nerf_noise if use_dnoise else 0.0,
+                    key=k_noise1 if use_dnoise else None,
                     clamp_mode=config.clamp_mode,
                 )
                 weights = weights.reshape(B * R, S) + 1e-5
@@ -166,8 +175,8 @@ class ImplicitGenerator3d(nn.Module):
 
         pixels, distances, _ = volume_integrate(
             all_outputs, all_z,
-            noise_std=nerf_noise if use_noise else 0.0,
-            key=k_noise2 if use_noise else None,
+            noise_std=nerf_noise if use_dnoise else 0.0,
+            key=k_noise2 if use_dnoise else None,
             white_back=config.white_back,
             last_back=config.last_back,
             clamp_mode=config.clamp_mode,

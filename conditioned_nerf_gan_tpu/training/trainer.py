@@ -22,6 +22,7 @@ epoch/step loop):
 from __future__ import annotations
 
 import copy
+import dataclasses
 import random
 import time
 from datetime import datetime
@@ -175,8 +176,9 @@ class Trainer:
             load_path = Path(self.args.load_dir)
 
         resume_step = int(load_path.stem) if load_path else 0
+        self.step = resume_step
         self.metadata = extract_metadata(self.curriculum, resume_step)
-        self.step_config = TrainStepConfig.from_metadata(self.metadata)
+        self.step_config = self._current_step_config(self.metadata)
 
         sample_batch = self._peek_batch()
         key = jax.random.PRNGKey(getattr(self.args, "seed", 0))
@@ -224,8 +226,25 @@ class Trainer:
             process_index=self.process_index, process_count=self.process_count,
         )
 
+    def _current_step_config(self, metadata: dict) -> TrainStepConfig:
+        """TrainStepConfig for `metadata` at the current training step.
+
+        Applies the static density-noise gate: the reference's nerf-noise
+        schedule is exactly 0 from step 5000 on (utils.py:618), so stages
+        past that skip the per-integrate threefry + ×0 multiply entirely
+        (the decay within a live stage stays a traced scalar). The schedule
+        is monotone, so gating on the rebuild step is safe.
+        """
+        cfg = TrainStepConfig.from_metadata(metadata)
+        if nerf_noise_schedule(self.step) <= 0.0:
+            cfg = dataclasses.replace(
+                cfg, render=dataclasses.replace(cfg.render,
+                                                density_noise=False)
+            )
+        return cfg
+
     def _rebuild_step_fn(self) -> None:
-        self.step_config = TrainStepConfig.from_metadata(self.metadata)
+        self.step_config = self._current_step_config(self.metadata)
         step_fn = make_train_step(
             self.generator, self.encoder, self.discriminator, self.step_config,
         )
@@ -266,7 +285,7 @@ class Trainer:
         ) or new_meta["dataset"] != self.metadata["dataset"]
         changed = (
             self._data_changed
-            or TrainStepConfig.from_metadata(new_meta) != self.step_config
+            or self._current_step_config(new_meta) != self.step_config
         )
         self.metadata = new_meta
         return changed

@@ -53,6 +53,10 @@ def main():
     stage_steps = sorted(k for k in cur if isinstance(k, int))
     step_at = stage_steps[args.stage]
     meta = extract_metadata(cur, step_at)
+    # mirror the trainer's static density-noise gate (schedule hits 0 at
+    # step 5000, so stages 1+ skip the threefry + x0 multiply)
+    from conditioned_nerf_gan_tpu.training.schedules import nerf_noise_schedule
+    density_noise = float(nerf_noise_schedule(step_at)) > 0.0
     if args.fp32:
         meta["compute_dtype"] = None
     if args.no_disc:
@@ -87,7 +91,11 @@ def main():
         enc = ResnetPointnet(c_dim=gen_meta["z_dim"], dtype=compute_dtype)
     disc = (make_discriminator(meta["discriminator"], dtype=compute_dtype)
             if meta["enable_discriminator"] else None)
+    import dataclasses
     cfg = TrainStepConfig.from_metadata(meta)
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, density_noise=density_noise)
+    )
 
     B = meta["batch_size"]
     img = meta["img_size"]
