@@ -1,7 +1,7 @@
 """Minimal OpenEXR scanline reader (no external OpenEXR dependency).
 
 Supports the subset Blender's depth passes use: single-part scanline files,
-HALF/FLOAT channels, NONE/ZIPS/ZIP compression. `read_exr_depth` replicates
+HALF/FLOAT channels, NONE/RLE/ZIPS/ZIP compression. `read_exr_depth` replicates
 the reference's `readEXR` semantics (reference datasets.py:183-216): take the
 R channel, map the half-float max 65504 to inf, resize, then zero out inf
 (background) pixels.
@@ -41,6 +41,26 @@ def _unpredict_and_interleave(data: bytes) -> bytes:
     inter[0::2] = arr[:half]
     inter[1::2] = arr[half : half + len(arr) - half]
     return inter.tobytes()
+
+
+def _rle_decompress(data: bytes) -> bytes:
+    """OpenEXR RLE scheme: a signed count byte per run — negative means
+    -count literal bytes follow, non-negative means count+1 copies of the
+    next byte. The output then goes through the same predictor/interleave
+    postprocess as zip."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        count = data[i]
+        i += 1
+        if count > 127:  # signed < 0: literal run
+            run = 256 - count
+            out += data[i : i + run]
+            i += run
+        else:
+            out += data[i : i + 1] * (count + 1)
+            i += 1
+    return bytes(out)
 
 
 def read_exr(path: str | Path) -> dict[str, np.ndarray]:
@@ -109,6 +129,8 @@ def read_exr(path: str | Path) -> dict[str, np.ndarray]:
         expected = row_bytes * n_lines
         if compression in (2, 3) and nbytes < expected:
             chunk = _unpredict_and_interleave(zlib.decompress(chunk))
+        elif compression == 1 and nbytes < expected:
+            chunk = _unpredict_and_interleave(_rle_decompress(chunk))
         cpos = 0
         for line in range(n_lines):
             for cname, ptype in channels:

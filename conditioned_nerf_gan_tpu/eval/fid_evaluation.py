@@ -106,13 +106,21 @@ def evaluate_trainer(trainer, metadata: dict):
     """Full eval pass; returns (fid, ofid, lpips, psnr) on the main process."""
     from .metrics import compute_metrics_from_dirs
 
+    from ..parallel import sync_processes
+
     real_dir = None
     if trainer.is_main:
         real_dir = setup_evaluation(metadata)
+    # Barriers around the filesystem rendezvous (the reference's
+    # dist.barrier() pair, utils.py:988,1000): every process renders and
+    # writes its own image shard, and the main process must not score the
+    # directory until all shards are on disk.
+    sync_processes("eval_setup_done")
     output_images(
         trainer, metadata, trainer.evaluation_path,
         trainer.process_index, trainer.process_count,
     )
+    sync_processes("eval_image_shards_written")
     if not trainer.is_main:
         return None
     val_lst = Path(metadata["dataset"]["path"]).parent / "val.lst"

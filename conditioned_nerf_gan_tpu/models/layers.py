@@ -100,9 +100,15 @@ class TorchLinear(nn.Module):
             dx = x.shape[-1]
             k_x, k_e = kernel[:dx], kernel[dx:]
             if self.dtype is not None:
-                y = jnp.dot(x.astype(self.dtype), k_x.astype(self.dtype))
+                # Same fp32_out semantics as the main branch: bf16 operands
+                # with fp32 accumulation/output under the SIREN policy, so
+                # the split computation stays a drop-in for the concat form.
+                acc = jnp.float32 if self.fp32_out else None
+                y = jnp.dot(x.astype(self.dtype), k_x.astype(self.dtype),
+                            preferred_element_type=acc)
                 y = y + jnp.dot(extra.astype(self.dtype),
-                                k_e.astype(self.dtype))
+                                k_e.astype(self.dtype),
+                                preferred_element_type=acc)
             else:
                 y = jnp.dot(x, k_x) + jnp.dot(extra, k_e)
             if self.use_bias:

@@ -8,6 +8,11 @@ from .mesh import (
     compile_train_step,
     data_sharding,
 )
+from .distributed import (
+    initialize_distributed,
+    distributed_requested,
+    sync_processes,
+)
 
 __all__ = [
     "make_mesh",
@@ -16,4 +21,7 @@ __all__ = [
     "compile_train_step",
     "data_sharding",
     "render_ray_sharded",
+    "initialize_distributed",
+    "distributed_requested",
+    "sync_processes",
 ]

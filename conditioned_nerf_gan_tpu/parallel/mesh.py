@@ -36,9 +36,34 @@ def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
-def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
-    """Place a host batch with axis 0 sharded across the mesh."""
+def shard_batch(
+    batch: dict, mesh: Mesh, axis_name: str = "data", force_global: bool = False
+) -> dict:
+    """Place a host batch with axis 0 sharded across the mesh.
+
+    Multi-process (multi-host) runs assemble a *global* array from each
+    process's local shard via `jax.make_array_from_process_local_data`: the
+    per-process batch becomes rows `[i*B_local, (i+1)*B_local)` of a
+    global batch of `process_count * B_local` (the DDP-DistributedSampler
+    analogue of reference datasets.py:268-302, but as one logical array).
+    Single-process runs keep the cheap `device_put` path; `force_global`
+    exercises the global-array assembly there too (used by the driver's
+    dryrun so the multi-host path is compile-checked without multiple
+    processes).
+    """
     sharding = data_sharding(mesh, axis_name)
+    if jax.process_count() > 1 or force_global:
+        out = {}
+        n_proc = jax.process_count()
+        for k, v in batch.items():
+            if isinstance(v, list):
+                continue
+            local = np.asarray(v)
+            global_shape = (local.shape[0] * n_proc,) + local.shape[1:]
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, local, global_shape
+            )
+        return out
     return {
         k: jax.device_put(v, sharding)
         for k, v in batch.items()
@@ -47,8 +72,24 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Fully replicate a pytree (params / optimizer state) over the mesh."""
+    """Fully replicate a pytree (params / optimizer state) over the mesh.
+
+    In multi-process runs the leaves may be process-local (host numpy from a
+    checkpoint restore, or single-device arrays): every process holds the
+    identical full value, so the replicated global array is assembled from
+    process-local data directly.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        def put(x):
+            if isinstance(x, jax.Array) and x.sharding == sharding:
+                return x
+            local = np.asarray(jax.device_get(x))
+            return jax.make_array_from_process_local_data(
+                sharding, local, local.shape
+            )
+
+        return jax.tree.map(put, tree)
     return jax.device_put(tree, sharding)
 
 

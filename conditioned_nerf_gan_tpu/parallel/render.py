@@ -21,7 +21,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # fov / nerf_noise / the PRNG key are *traced* arguments so per-frame fov
 # sweeps (orbit videos) reuse one executable instead of recompiling — the
 # remote-TPU compile cost makes a per-frame retrace pathological.
+# Bounded LRU-ish eviction (insertion order): inference uses a handful of
+# RenderConfig/mesh combinations per process, but an unbounded dict would
+# pin every compiled executable + its device objects for the process
+# lifetime if a caller sweeps configs.
 _FN_CACHE: dict = {}
+_FN_CACHE_MAX = 16
 
 
 def _sharded_render_fn(generator, config, mesh, axis_name, use_noise):
@@ -29,6 +34,8 @@ def _sharded_render_fn(generator, config, mesh, axis_name, use_noise):
     fn = _FN_CACHE.get(cache_key)
     if fn is not None:
         return fn
+    while len(_FN_CACHE) >= _FN_CACHE_MAX:
+        _FN_CACHE.pop(next(iter(_FN_CACHE)))
     rows = config.img_size // mesh.devices.size
 
     def local(params, z, cams, key, nerf_noise, fov):

@@ -20,6 +20,7 @@ such changes (it never needs the optimizer state).
 from __future__ import annotations
 
 import json
+import warnings
 from pathlib import Path
 from typing import Any
 
@@ -68,10 +69,22 @@ def restore_checkpoint(path: str | Path, template_state: Any,
         state = template_state
         for name in ("params_G", "params_E", "params_D"):
             tmpl = getattr(template_state, name)
-            if tmpl is not None and raw.get(name) is not None:
-                restored = serialization.from_state_dict(tmpl, raw[name],
-                                                         name=name)
-                state = state.replace(**{name: restored})
+            if tmpl is None:
+                continue
+            if raw.get(name) is None:
+                # A template expecting this subtree but a checkpoint lacking
+                # it means truncation or a model/checkpoint mismatch — using
+                # the template's fresh random params would silently corrupt
+                # inference, so be loud about it.
+                warnings.warn(
+                    f"{path}: checkpoint has no '{name}' subtree; keeping the"
+                    " template's freshly-initialized params for it",
+                    stacklevel=2,
+                )
+                continue
+            restored = serialization.from_state_dict(tmpl, raw[name],
+                                                     name=name)
+            state = state.replace(**{name: restored})
         if "step" in raw:
             state = state.replace(
                 step=serialization.from_state_dict(template_state.step,

@@ -182,12 +182,22 @@ class Trainer:
 
         sample_batch = self._peek_batch()
         key = jax.random.PRNGKey(getattr(self.args, "seed", 0))
-        self.state = jax.jit(
-            lambda k, b: create_train_state(
-                k, self.generator, self.encoder,
-                self.discriminator, b, self.step_config,
+        init_fn = lambda k, b: create_train_state(  # noqa: E731
+            k, self.generator, self.encoder,
+            self.discriminator, b, self.step_config,
+        )
+        if self.process_count > 1:
+            # Multi-host: init replicated over the *global* mesh in one SPMD
+            # program. Inputs are host values (identical on every process —
+            # same seed, deterministic loader peek), which jit broadcasts.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            self.state = jax.jit(init_fn, out_shardings=repl)(
+                np.asarray(key), sample_batch
             )
-        )(key, sample_batch)
+        else:
+            self.state = jax.jit(init_fn)(key, sample_batch)
 
         if load_path is not None:
             print(f"Resuming from checkpoint {load_path}")
@@ -248,14 +258,26 @@ class Trainer:
         step_fn = make_train_step(
             self.generator, self.encoder, self.discriminator, self.step_config,
         )
-        # the data axis must divide the per-process batch; trim the mesh to
-        # the largest usable device count (e.g. batch 4 on an 8-device host)
+        # the data axis must divide the global batch; single-host runs trim
+        # the mesh to the largest usable device count (e.g. batch 4 on an
+        # 8-device host). Multi-host meshes cannot be trimmed (every
+        # process's devices must participate in the SPMD program), so the
+        # config must divide — fail loudly instead of mis-sharding.
         devices = list(self.mesh.devices.flat)
         n_dev = len(devices)
-        while n_dev > 1 and self.metadata["batch_size"] % n_dev != 0:
-            n_dev -= 1
-        if n_dev != len(devices):
-            self.mesh = make_mesh(devices[:n_dev])
+        global_batch = self.metadata["batch_size"] * self.process_count
+        if self.process_count > 1:
+            if global_batch % n_dev != 0:
+                raise ValueError(
+                    f"global batch {global_batch} (= {self.metadata['batch_size']}"
+                    f" per process x {self.process_count} processes) must divide"
+                    f" over the {n_dev}-device mesh"
+                )
+        else:
+            while n_dev > 1 and global_batch % n_dev != 0:
+                n_dev -= 1
+            if n_dev != len(devices):
+                self.mesh = make_mesh(devices[:n_dev])
         if n_dev > 1:
             self._step_fn = compile_train_step(step_fn, self.mesh)
             self.state = replicate(self.state, self.mesh)
@@ -365,7 +387,9 @@ class Trainer:
         # replicated in the jitted step's shardings, and SPMD replication
         # requires replicated inputs to be bitwise equal across processes.
         # Per-sample divergence comes from batch-shaped draws inside the step.
-        rng = jax.random.PRNGKey(1000 + getattr(self.args, "seed", 0))
+        # Host numpy (not a committed device array) so multi-process jit can
+        # broadcast it to the global mesh.
+        rng = np.asarray(jax.random.PRNGKey(1000 + getattr(self.args, "seed", 0)))
         steps_elapsed = 0.0
 
         for _ in range(self.args.n_epochs):
@@ -401,7 +425,7 @@ class Trainer:
                 batch_dev = self._put_batch(batch)
                 self.state, metrics = self._step_fn(
                     self.state, batch_dev, rng,
-                    jnp.float32(self.alpha), jnp.float32(self.nerf_noise),
+                    np.float32(self.alpha), np.float32(self.nerf_noise),
                 )
                 metrics = {k: float(v) for k, v in metrics.items()}
                 self._record(metrics)
@@ -470,6 +494,21 @@ class Trainer:
         meta["last_back"] = meta.get("eval_last_back", False)
         return meta
 
+    def _local_params(self, name: str):
+        """Process-local copy of a param subtree for eval-time rendering.
+
+        Training params are global arrays spanning every process's devices;
+        eval renders are per-process *independent* programs over different
+        data shards (fid_evaluation.output_images), so they must not close
+        over global arrays — each process pulls a host copy and runs on its
+        own devices (the DDP analogue: each rank renders its shard on its own
+        GPU, reference fid_evaluation.py:103-151).
+        """
+        params = getattr(self.state, name)
+        if self.process_count > 1:
+            params = jax.device_get(params)
+        return params
+
     def encode_batch(self, batch: dict):
         """Gradient-free conditioning encode (eval path)."""
         fn = self._render_cache.get("encode")
@@ -486,7 +525,7 @@ class Trainer:
                     return tuple(z) if isinstance(z, list) else z
             fn = jax.jit(fn)
             self._render_cache["encode"] = fn
-        return fn(self.state.params_E, batch)
+        return fn(self._local_params("params_E"), batch)
 
     def generate_img(self, z, cam2world, img_size=None, num_steps=None):
         """Deterministic render at eval settings (reference utils.py:60-82)."""
@@ -499,7 +538,7 @@ class Trainer:
                 lambda p, zz, cc: self.generator.apply(p, zz, cc, cfg, rng=None)
             )
             self._render_cache[key] = fn
-        return fn(self.state.params_G, z, cam2world)
+        return fn(self._local_params("params_G"), z, cam2world)
 
     def sample_imgs(self) -> None:
         """Dump GT/generated rgb+depth grids (utils.py:844-915)."""

@@ -37,6 +37,14 @@ jax.config.update("jax_compilation_cache_dir", str(REPO_ROOT / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: jit-heavy integration/golden tests "
+        "(deselect with `-m 'not slow'` for a <60s unit loop)",
+    )
+
+
 REFERENCE_ROOT = Path("/root/reference")
 
 

@@ -95,33 +95,50 @@ def test_cond_view_selection(dataset_root):
     assert s["cond"].shape == (32, 32, 3)
 
 
-def test_exr_roundtrip(tmp_path):
-    """Minimal EXR reader handles ZIP-compressed half-float scanlines.
+def _exr_rle_compress(raw: bytes) -> bytes:
+    """OpenEXR RLE row compressor (plane split + delta predictor + runs)."""
+    arr = np.frombuffer(raw, np.uint8)
+    planes = np.concatenate([arr[0::2], arr[1::2]])
+    enc = planes.astype(np.int16)
+    enc[1:] = enc[1:] - planes[:-1].astype(np.int16) + 128
+    b = (enc % 256).astype(np.uint8).tobytes()
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        run = 1
+        while i + run < n and b[i + run] == b[i] and run < 127:
+            run += 1
+        if run >= 2:
+            out.append(run - 1)  # count+1 copies
+            out.append(b[i])
+            i += run
+        else:
+            j = i
+            while j < n and (j - i) < 127:
+                if j + 2 < n and b[j] == b[j + 1] == b[j + 2]:
+                    break
+                j += 1
+            out.append(256 - (j - i))  # signed negative: literal run
+            out += b[i:j]
+            i = j
+    return bytes(out)
 
-    Written with OpenEXR if available, else via a hand-rolled NONE-compressed
-    writer (exercising the parse path either way).
-    """
-    try:
-        import OpenEXR  # noqa: F401
 
-        pytest.skip("OpenEXR present; covered by integration elsewhere")
-    except ImportError:
-        pass
-
+def _write_exr(path, data: np.ndarray, compression: int):
+    """Hand-rolled single-channel half-float scanline EXR writer (test-only)."""
     import struct
-    import numpy as np
 
-    h, w = 4, 5
-    data = (np.arange(h * w, dtype=np.float32) / 10).reshape(h, w).astype(np.float16)
+    h, w = data.shape
+    data = data.astype(np.float16)
 
-    # hand-roll an uncompressed single-channel EXR
     def attr(name, typ, payload):
-        return name.encode() + b"\0" + typ.encode() + b"\0" + struct.pack("<i", len(payload)) + payload
+        return (name.encode() + b"\0" + typ.encode() + b"\0"
+                + struct.pack("<i", len(payload)) + payload)
 
     chan = b"R\0" + struct.pack("<i", 1) + b"\0\0\0\0" + struct.pack("<ii", 1, 1) + b"\0"
     header = b"".join([
         attr("channels", "chlist", chan),
-        attr("compression", "compression", b"\0"),
+        attr("compression", "compression", bytes([compression])),
         attr("dataWindow", "box2i", struct.pack("<4i", 0, 0, w - 1, h - 1)),
         attr("displayWindow", "box2i", struct.pack("<4i", 0, 0, w - 1, h - 1)),
         attr("lineOrder", "lineOrder", b"\0"),
@@ -136,11 +153,39 @@ def test_exr_roundtrip(tmp_path):
     for y in range(h):
         offsets.append(base + len(body))
         row = data[y].tobytes()
+        if compression == 1:
+            packed = _exr_rle_compress(row)
+            if len(packed) < len(row):  # OpenEXR stores raw if no gain
+                row = packed
         body += struct.pack("<ii", y, len(row)) + row
     out = struct.pack("<ii", 20000630, 2) + header
     out += b"".join(struct.pack("<q", o) for o in offsets) + body
-
-    path = tmp_path / "depth.exr"
     path.write_bytes(out)
+
+
+def test_exr_roundtrip(tmp_path):
+    """Minimal EXR reader handles uncompressed half-float scanlines."""
+    h, w = 4, 5
+    data = (np.arange(h * w, dtype=np.float32) / 10).reshape(h, w)
+    path = tmp_path / "depth.exr"
+    _write_exr(path, data, compression=0)
     parsed = read_exr(path)
-    np.testing.assert_allclose(parsed["R"], data.astype(np.float32), atol=1e-3)
+    np.testing.assert_allclose(
+        parsed["R"], data.astype(np.float16).astype(np.float32), atol=1e-3)
+
+
+def test_exr_rle_roundtrip(tmp_path):
+    """RLE (compression id 1) files decode instead of passing through raw
+    (r2 verdict: the old path produced garbage silently)."""
+    h, w = 8, 16
+    # depth-map-like content: large constant background + a blob → compresses
+    data = np.full((h, w), 65504.0, np.float32)
+    data[2:6, 4:12] = np.linspace(0.5, 1.5, 32).reshape(4, 8)
+    path = tmp_path / "depth_rle.exr"
+    _write_exr(path, data, compression=1)
+    raw = path.read_bytes()
+    # ensure at least one chunk actually took the compressed branch
+    assert len(raw) < 8 + 700 + 8 * h + h * (8 + w * 2)
+    parsed = read_exr(path)
+    np.testing.assert_allclose(
+        parsed["R"], data.astype(np.float16).astype(np.float32), rtol=1e-3)

@@ -15,6 +15,7 @@ from conditioned_nerf_gan_tpu.eval.metrics import (
 )
 
 
+@pytest.mark.slow
 def test_inception_feature_shapes():
     from conditioned_nerf_gan_tpu.eval.inception import get_inception
 
@@ -92,11 +93,13 @@ def image_dirs(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_fid_identical_dirs_is_zero(image_dirs):
     fid = compute_fid_from_dirs(image_dirs / "real", image_dirs / "real")
     assert abs(fid) < 1e-3
 
 
+@pytest.mark.slow
 def test_compute_metrics_from_dirs(image_dirs):
     fid, ofid, lpips_score, psnr = compute_metrics_from_dirs(
         image_dirs / "real", image_dirs / "gen", image_dirs / "val.lst",

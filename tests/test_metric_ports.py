@@ -199,6 +199,7 @@ def _randomize_bn_stats(module, rng):
             m.bias.data.copy_(torch.tensor(rng.normal(0, 0.1, c), dtype=torch.float32))
 
 
+@pytest.mark.slow
 def test_inception_port_matches_torch():
     torch.manual_seed(0)
     rng = np.random.default_rng(0)
@@ -222,6 +223,7 @@ def test_inception_port_matches_torch():
     np.testing.assert_allclose(np.asarray(j2048), t2048.numpy(), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_inception_port_resize_path():
     """Same parity through the 128²→299² resize (the FID eval protocol)."""
     torch.manual_seed(1)

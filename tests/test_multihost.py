@@ -1,0 +1,90 @@
+"""Multi-host execution parity: 2 processes x 4 devices == 1 process x 8.
+
+The reference's multi-GPU path is mp.spawn + gloo + DDP + dist.barrier()
+(reference train.py:36-44,231-246, utils.py:988,1000). The TPU-native
+equivalent (jax.distributed + global-array assembly + SPMD psum over the
+global mesh) is validated here on localhost: two real OS processes with 4
+virtual CPU devices each run the full GAN train step over one global
+8-device mesh, and the updated parameters must match the single-process
+8-device run bit-for-tolerance.
+"""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import multihost_common as mh
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+WORKER = Path(__file__).resolve().parent / "multihost_worker.py"
+
+pytestmark = pytest.mark.slow
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_step_matches_single_process(tmp_path):
+    port = _free_port()
+    out_npz = tmp_path / "proc0.npz"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(i), str(port), str(out_npz)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(REPO_ROOT),
+        )
+        for i in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outputs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+    assert out_npz.exists()
+    got = np.load(out_npz)
+
+    # single-process 8-device reference, same program + data
+    from conditioned_nerf_gan_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    ref_metrics, ref_flat = mh.run_one_step(mesh, mh.global_batch())
+
+    for k, v in ref_metrics.items():
+        np.testing.assert_allclose(
+            float(got[f"metric_{k}"]), v, rtol=1e-4, atol=1e-5,
+            err_msg=f"metric {k} diverges between 2-process and 1-process",
+        )
+    np.testing.assert_allclose(
+        got["flat"], ref_flat, rtol=1e-4, atol=1e-5,
+        err_msg="post-step params diverge between 2-process and 1-process",
+    )
+
+
+def test_global_array_assembly_single_process():
+    """shard_batch's make_array_from_process_local_data path (force_global)
+    must place data identically to the device_put path."""
+    import jax
+
+    from conditioned_nerf_gan_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    batch = mh.global_batch()
+    a = shard_batch(batch, mesh)
+    b = shard_batch(batch, mesh, force_global=True)
+    for k in a:
+        assert a[k].sharding.is_equivalent_to(b[k].sharding, a[k].ndim)
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    # replicated assembly is exercised via jax.device_put equivalence
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    x = jax.device_put(batch["img"], repl)
+    assert np.asarray(x).shape == batch["img"].shape

@@ -47,6 +47,7 @@ def tiny_setup(batch_split=1, enable_disc=True, img=16, steps=8, B=4):
     return gen, enc, disc, cfg, batch
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns():
     gen, enc, disc, cfg, batch = tiny_setup()
     key = jax.random.PRNGKey(0)
@@ -65,6 +66,7 @@ def test_train_step_runs_and_learns():
     assert float(metrics["photo_loss"]) < first_photo  # photometric term learns
 
 
+@pytest.mark.slow
 def test_batch_split_grad_accumulation_matches_reference_scaling():
     """batch_split sums per-split mean grads (utils.py:642-711): k splits give
     k× the full-batch-mean gradient, so one split step == (k-steps at lr/k)
@@ -107,6 +109,7 @@ def test_r1_penalty_positive_and_differentiable():
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
 
 
+@pytest.mark.slow
 def test_grad_accum_scale():
     """grad_accum_scale pins the effective gradient independent of the
     batch_split memory knob (reference semantics: batch_split × mean)."""
@@ -213,6 +216,7 @@ def test_schedules():
     assert float(nerf_noise_schedule(10000)) == 0.0
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     gen, enc, disc, cfg, batch = tiny_setup()
     key = jax.random.PRNGKey(0)
@@ -232,12 +236,14 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_multichip_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_ensure_devices_bootstrap():
     """Driver scenario: no XLA_FLAGS, platform env hijacked, backend already
     initialized with 1 device — _ensure_devices must still yield 8 devices."""
@@ -265,6 +271,7 @@ def test_ensure_devices_bootstrap():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_data_parallel_matches_single_device():
     """One step on an 8-device data mesh == the same step on one device
     (the psum-mean gradient reduction is exactly the full-batch gradient)."""
@@ -332,6 +339,7 @@ def test_ray_sharded_render_matches_single_device():
     np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bf16_compute_policy_trains():
     """The bf16 AMP policy (metadata "compute_dtype"): params/grads/opt state
     stay fp32, metrics stay finite and the photometric term still learns, and

@@ -7,6 +7,8 @@ import pytest
 
 from conditioned_nerf_gan_tpu.data import make_synthetic_shapenet
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def train_env(tmp_path_factory, monkeypatch=None):

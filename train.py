@@ -50,6 +50,18 @@ def parse_args(argv=None):
                         help="force a JAX platform (default: environment)")
     parser.add_argument("--smoke", action="store_true",
                         help="generate a tiny synthetic dataset and train on it")
+    # multi-host execution (replaces the reference's mp.spawn + gloo
+    # rendezvous, train.py:36-44,231-246): launch this CLI once per host.
+    parser.add_argument("--distributed", action="store_true",
+                        help="call jax.distributed.initialize(); on TPU pod "
+                             "slices the topology is auto-detected")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address host:port (implies "
+                             "--distributed; env: CNG_COORDINATOR)")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="total process count (env: CNG_NUM_PROCESSES)")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="this process's id (env: CNG_PROCESS_ID)")
     return parser.parse_args(argv)
 
 
@@ -62,6 +74,18 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from conditioned_nerf_gan_tpu.parallel import (
+        distributed_requested,
+        initialize_distributed,
+    )
+
+    if distributed_requested(args):
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+        print(f"Distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices", flush=True)
 
     if args.smoke:
         from conditioned_nerf_gan_tpu.data import make_synthetic_shapenet
