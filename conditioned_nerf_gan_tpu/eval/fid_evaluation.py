@@ -102,6 +102,17 @@ def output_images(
             _save_png(img, out / _img_name(batch["img_path"][idx]))
 
 
+def append_fid_line(path, step: int, fid, ofid, lpips_score, psnr) -> None:
+    """Append one metric line in the reference's fid.txt format
+    (utils.py:1009-1012), stamping the file first when the metric nets are
+    random-init (tools/plots.plot_fid skips the stamp)."""
+    from .weights import stamp_metric_log
+
+    stamp_metric_log(path)
+    with open(path, "a") as f:
+        f.write(f"\n{step} {fid} {ofid} {lpips_score} {psnr}")
+
+
 def evaluate_trainer(trainer, metadata: dict):
     """Full eval pass; returns (fid, ofid, lpips, psnr) on the main process."""
     from .metrics import compute_metrics_from_dirs

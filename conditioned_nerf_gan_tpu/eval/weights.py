@@ -59,3 +59,40 @@ def warn_random_init(env_var: str, what: str) -> None:
         "tools/port_metric_weights.py and export the env var.",
         stacklevel=3,
     )
+
+
+def metrics_calibrated() -> bool:
+    """True when both metric nets will load real pretrained weights.
+
+    FID/oFID need CNG_INCEPTION_WEIGHTS; LPIPS needs CNG_LPIPS_WEIGHTS.
+    Anything less means fixed-seed random features: values self-consistent
+    within this framework, NOT comparable to published numbers.
+    """
+    import os
+
+    return all(
+        os.environ.get(var) and os.path.exists(os.environ[var])
+        for var in ("CNG_INCEPTION_WEIGHTS", "CNG_LPIPS_WEIGHTS")
+    )
+
+
+RANDOM_INIT_STAMP = (
+    "# RANDOM-INIT FEATURES: fixed-seed metric nets (CNG_INCEPTION_WEIGHTS/"
+    "CNG_LPIPS_WEIGHTS unset); values are self-consistent within this "
+    "framework only, NOT comparable to published numbers"
+)
+
+
+def stamp_metric_log(path) -> None:
+    """Mark a fid.txt-style metric log as uncalibrated before first append.
+
+    The r2 verdict's complaint: random-init metric lines are otherwise
+    indistinguishable from calibrated ones once the one-time stderr warning
+    scrolls away. The stamp is a comment line the plot parsers skip.
+    """
+    from pathlib import Path
+
+    path = Path(path)
+    if metrics_calibrated() or path.exists():
+        return
+    path.write_text(RANDOM_INIT_STAMP + "\n")

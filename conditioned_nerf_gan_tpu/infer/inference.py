@@ -539,6 +539,9 @@ class Inferencer:
             Path(meta["dataset"]["path"]).parent / "val.lst",
         )
         fid, ofid, lpips_score, psnr = results
+        from ..eval.weights import stamp_metric_log
+
+        stamp_metric_log(self.run_dir / "fid_inference.txt")
         with open(self.run_dir / "fid_inference.txt", "a") as f:
             f.write(
                 f"{self.step} {meta['voxel_resolution']} {meta['num_steps']} "

@@ -67,6 +67,8 @@ def plot_fid(run_dir: str | Path, out_path: str | Path | None = None) -> Path:
     run_dir = Path(run_dir)
     rows = []
     for line in (run_dir / "fid.txt").read_text().split("\n"):
+        if line.lstrip().startswith("#"):  # calibration stamp / comments
+            continue
         parts = line.split()
         if len(parts) >= 5:
             rows.append([float(x) for x in parts[:5]])

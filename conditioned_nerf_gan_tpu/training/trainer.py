@@ -655,8 +655,12 @@ class Trainer:
             self.histories["fid_history"].append(
                 [self.step, fid, ofid, lpips_score, psnr]
             )
-            with open(Path(self.args.output_dir) / "fid.txt", "a") as f:
-                f.write(f"\n{self.step} {fid} {ofid} {lpips_score} {psnr}")
+            from ..eval.fid_evaluation import append_fid_line
+
+            append_fid_line(
+                Path(self.args.output_dir) / "fid.txt",
+                self.step, fid, ofid, lpips_score, psnr,
+            )
             print(
                 f"Metrics at step {self.step}: FID {fid} | oFID {ofid} | "
                 f"LPIPS {lpips_score} | PSNR {psnr}",

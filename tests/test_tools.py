@@ -152,3 +152,23 @@ def test_blender_draw_outputs(dataset_root, tmp_path):
     out2 = show_img_in_grid(cars[0] / "image", nrows=1,
                             out_path=tmp_path / "grid.png")
     assert out2.exists() and out2.stat().st_size > 0
+
+
+def test_fid_txt_roundtrip_plot(tmp_path, monkeypatch):
+    """A fid.txt written by the Trainer's writer parses and plots — including
+    the random-init calibration stamp (the two sides previously met only in
+    production; r2 verdict item 10)."""
+    monkeypatch.delenv("CNG_INCEPTION_WEIGHTS", raising=False)
+    monkeypatch.delenv("CNG_LPIPS_WEIGHTS", raising=False)
+    from conditioned_nerf_gan_tpu.eval.fid_evaluation import append_fid_line
+    from conditioned_nerf_gan_tpu.tools.plots import plot_fid
+
+    fid_path = tmp_path / "fid.txt"
+    append_fid_line(fid_path, 4999, 120.5, 80.25, 0.41, 14.2)
+    append_fid_line(fid_path, 9999, 90.0, 60.5, 0.33, 16.1)
+    text = fid_path.read_text()
+    assert text.startswith("# RANDOM-INIT FEATURES")  # uncalibrated stamp
+    assert "9999 90.0" in text
+
+    out = plot_fid(tmp_path)
+    assert out.exists() and out.stat().st_size > 0
