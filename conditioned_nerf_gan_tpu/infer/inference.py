@@ -201,14 +201,32 @@ class Inferencer:
     # rendering helpers (cached jit, fov traced)
     # ------------------------------------------------------------------
     def encode(self, sample_batch: dict):
+        # jitted + cached per input shape: eager dispatch through the TPU
+        # tunnel is pathologically slow (CLAUDE.md), and eval calls this with
+        # a handful of batch shapes at most
         if self.curriculum["dataset"]["load_pcl"]:
-            z, _ = encode_pcl(
-                lambda p, x: self.encoder.apply(p, x), self.params_E,
-                jnp.asarray(sample_batch["pcl"]),
-            )
-            return z
-        z = self.encoder.apply(self.params_E, jnp.asarray(sample_batch["voxel"]))
-        return tuple(z) if isinstance(z, list) else z
+            pcl = jnp.asarray(sample_batch["pcl"])
+            key = ("encode_pcl", pcl.shape)
+            fn = self._render_cache.get(key)
+            if fn is None:
+                def fn(p, x):
+                    z, _ = encode_pcl(
+                        lambda pp, xx: self.encoder.apply(pp, xx), p, x
+                    )
+                    return z
+                fn = jax.jit(fn)
+                self._render_cache[key] = fn
+            return fn(self.params_E, pcl)
+        vox = jnp.asarray(sample_batch["voxel"])
+        key = ("encode_voxel", vox.shape)
+        fn = self._render_cache.get(key)
+        if fn is None:
+            def fn(p, x):
+                z = self.encoder.apply(p, x)
+                return tuple(z) if isinstance(z, list) else z
+            fn = jax.jit(fn)
+            self._render_cache[key] = fn
+        return fn(self.params_E, vox)
 
     def encode_batch(self, batch: dict):  # fid_evaluation duck-type
         return self.encode(batch)
@@ -246,7 +264,51 @@ class Inferencer:
         num_steps = num_steps or self.curriculum["num_steps"]
         fov = self.curriculum["fov"] if fov is None else fov
         fn = self._render_fn(img_size, num_steps)
-        return fn(self.params_G, z, jnp.asarray(cam2world), jnp.float32(fov))
+        # fov may be a scalar or a per-image (B,) sweep (batched orbit frames)
+        return fn(self.params_G, z, jnp.asarray(cam2world),
+                  jnp.asarray(fov, jnp.float32))
+
+    @staticmethod
+    def _tile_z(z, n: int):
+        """Broadcast a B=1 conditioning (latent / volume / tuple) to batch n.
+
+        The training path batches everything for exactly this reason
+        (trainer.py "one batched render"); per-dispatch latency dominates the
+        tunnelled-TPU inference loops otherwise (r2 verdict, Weak #1).
+        """
+        tile = lambda a: jnp.repeat(jnp.asarray(a), n, axis=0)  # noqa: E731
+        if isinstance(z, (tuple, list)):
+            return tuple(tile(part) for part in z)
+        return tile(z)
+
+    def render_batched(self, z, cams, *, fov=None, chunk: int = 8,
+                       img_size=None, num_steps=None, z_batched: bool = False):
+        """Render many views in few dispatches (numpy rgb/depth stacks).
+
+        The reference loops B=1 per frame/view (inference.py:387-499); on a
+        tunnelled TPU per-dispatch latency dominates, so views are rendered
+        in blocks of `chunk` (dispatch count = ceil(n/chunk)). `fov` may be a
+        per-view (n,) sweep; `z_batched` means z already has batch n (else
+        the single conditioning is tiled per block).
+        """
+        cams = np.asarray(cams)
+        n = cams.shape[0]
+        rgbs, depths = [], []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            if z_batched:
+                z_c = (tuple(p[s:e] for p in z)
+                       if isinstance(z, (tuple, list)) else z[s:e])
+            else:
+                z_c = self._tile_z(z, e - s)
+            fov_c = None
+            if fov is not None:
+                fov_c = fov if np.ndim(fov) == 0 else jnp.asarray(fov[s:e])
+            rgb, d = self.generate_img(z_c, cams[s:e], img_size=img_size,
+                                       num_steps=num_steps, fov=fov_c)
+            rgbs.append(np.asarray(rgb))
+            depths.append(np.asarray(d))
+        return np.concatenate(rgbs), np.concatenate(depths)
 
     def _inference_dir(self) -> Path:
         out = self.run_dir / "inference"
@@ -285,18 +347,29 @@ class Inferencer:
             )
             cams = np.asarray(create_cam2world_matrix(origins, self.up_direction))
 
-        for row, i in enumerate(indices):
-            sample = self.valset[i]
+        # one batched encode + block renders instead of n B=1 dispatches
+        # (reference inference.py:227-246 loops max_imgs_per_batch=1)
+        samples = [self.valset[i] for i in indices]
+        cam_rows = []
+        for row, sample in enumerate(samples):
             gt_rows.append(sample["img"] * 0.5 + 0.5)
             depth = sample.get("depth", np.zeros(sample["img"].shape[:2], np.float32))
             gt_depth_rows.append(np.repeat((depth / ray_end)[..., None], 3, -1))
-            cam = sample["cam2world"][None] if fixed else cams[row][None]
+            cam = sample["cam2world"] if fixed else cams[row]
             if fixed and cam_noise > 0:
-                cam = perturb_extrinsics(cam, cam_noise, self.rng)
-            z = self.encode(self._cond_batch(sample))
-            rgb, d = self.generate_img(z, cam)
-            gen_rows.append(np.asarray(rgb[0]) * 0.5 + 0.5)
-            gen_depth_rows.append(np.repeat(np.asarray(d[0] / ray_end)[..., None], 3, -1))
+                cam = perturb_extrinsics(cam[None], cam_noise, self.rng)[0]
+            cam_rows.append(np.asarray(cam))
+        cond = {
+            k: np.stack([np.asarray(s[k]) for s in samples])
+            for k in ("pcl", "voxel") if k in samples[0]
+        }
+        z = self.encode(cond)
+        rgb_all, d_all = self.render_batched(
+            z, np.stack(cam_rows), z_batched=True
+        )
+        for rgb, d in zip(rgb_all, d_all):
+            gen_rows.append(rgb * 0.5 + 0.5)
+            gen_depth_rows.append(np.repeat((d / ray_end)[..., None], 3, -1))
 
         stamp = datetime.now().strftime("%d--%H:%M:%S.%f")
         mode = "fixed" if fixed else "random"
@@ -360,9 +433,13 @@ class Inferencer:
         video = cv2.VideoWriter(
             str(out), cv2.VideoWriter_fourcc(*"mp4v"), fps, (img_size, img_size)
         )
-        for idx in range(num_frames):
-            rgb, _ = self.generate_img(z, cams[idx][None], fov=float(fovs[idx]))
-            frame = np.asarray(rgb[0]) * 0.5 + 0.5
+        # frame blocks with a per-frame (B,) fov sweep: ≤ num_frames/8
+        # dispatches instead of 240 B=1 round trips (r2: 240 dispatches
+        # dominated the CLI wall time through the tunnel)
+        rgb_all, _ = self.render_batched(
+            z, cams, fov=fovs.astype(np.float32), chunk=16
+        )
+        for frame in rgb_all * 0.5 + 0.5:
             video.write((np.clip(frame, 0, 1)[..., ::-1] * 255).astype(np.uint8))
         video.release()
         print("Writing video to", out)
@@ -402,10 +479,8 @@ class Inferencer:
         focal = 1.0 / math.tan(math.radians(self.curriculum["fov"]) / 2.0)
         ray_start, ray_end = self.curriculum["ray_start"], self.curriculum["ray_end"]
         pts_xyz, pts_rgb, rgbs, depth_maps = [], [], [], []
-        for cam in cams:
-            rgb, depth = self.generate_img(z, cam[None])
-            rgb = np.asarray(rgb[0])
-            depth = np.asarray(depth[0])
+        rgb_all, depth_all = self.render_batched(z, cams)  # block dispatches
+        for cam, rgb, depth in zip(cams, rgb_all, depth_all):
             rgbs.append(rgb * 0.5 + 0.5)
             depth_maps.append(np.repeat((depth / ray_end)[..., None], 3, -1))
             valid = (depth > ray_start) & (depth < ray_end)
@@ -452,11 +527,12 @@ class Inferencer:
         focal = 1.0 / math.tan(math.radians(self.curriculum["fov"]) / 2.0)
         ray_start, ray_end = self.curriculum["ray_start"], self.curriculum["ray_end"]
         pts_xyz, pts_rgb = [], []
-        for view in views:
-            cam = cams_npz[f"world_mat_inv_{view}"].astype(np.float32)
-            rgb, depth = self.generate_img(z, cam[None])
-            rgb = np.asarray(rgb[0])
-            depth = np.asarray(depth[0])
+        view_cams = np.stack([
+            cams_npz[f"world_mat_inv_{view}"].astype(np.float32)
+            for view in views
+        ])
+        rgb_all, depth_all = self.render_batched(z, view_cams)
+        for view, cam, rgb, depth in zip(views, view_cams, rgb_all, depth_all):
             valid = (depth > ray_start) & (depth < ray_end)
             if mask:
                 from ..tools.geometry import backproject_depth  # noqa: F401
@@ -572,22 +648,26 @@ class Inferencer:
             else "world_mat_inv_0"
         cam = cams_npz[cam_key].astype(np.float32)[None]
 
-        rows = []
-        for i in range(interpolate_n + 1):
-            t = i / interpolate_n
-            if isinstance(z_src, tuple):
-                fv = (1 - t) * z_src[0] + t * z_tgt[0]
-                gz = (1 - t) * z_src[1] + t * z_tgt[1]
-                if mode == "f":
-                    z_it = (fv, z_src[1])
-                elif mode == "z":
-                    z_it = (z_src[0], gz)
-                else:
-                    z_it = (fv, gz)
+        # stack all interpolation steps along the batch → one block render
+        ts = np.linspace(0.0, 1.0, interpolate_n + 1, dtype=np.float32)
+
+        def lerp(a, b):  # (1, ...) pair → (len(ts), ...) interpolation stack
+            return jnp.concatenate([(1 - t) * a + t * b for t in ts], axis=0)
+
+        if isinstance(z_src, tuple):
+            fv = lerp(z_src[0], z_tgt[0])
+            gz = lerp(z_src[1], z_tgt[1])
+            if mode == "f":
+                z_it = (fv, jnp.repeat(z_src[1], len(ts), axis=0))
+            elif mode == "z":
+                z_it = (jnp.repeat(z_src[0], len(ts), axis=0), gz)
             else:
-                z_it = (1 - t) * z_src + t * z_tgt
-            rgb, _ = self.generate_img(z_it, cam)
-            rows.append(np.asarray(rgb[0]) * 0.5 + 0.5)
+                z_it = (fv, gz)
+        else:
+            z_it = lerp(z_src, z_tgt)
+        cams_rep = np.repeat(cam, len(ts), axis=0)
+        rgb_all, _ = self.render_batched(z_it, cams_rep, z_batched=True)
+        rows = [rgb * 0.5 + 0.5 for rgb in rgb_all]
 
         out = Path(save_dir) / f"{src_id}_to_{tgt_id}_{mode}.png"
         out.parent.mkdir(parents=True, exist_ok=True)

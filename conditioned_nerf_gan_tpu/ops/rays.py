@@ -56,10 +56,19 @@ def pixel_rays(fov, width: int, height: int, dtype=jnp.float32,
         y = jnp.linspace(-1.0, 1.0, height, dtype=dtype)
     xx = jnp.tile(x[None, :], (height, 1)).reshape(-1)
     yy = jnp.tile(y[:, None], (1, width)).reshape(-1)
-    z = jnp.broadcast_to(
-        1.0 / jnp.tan(fov * (math.pi / 360.0)), xx.shape
-    ).astype(dtype)
-    return normalize_vecs(jnp.stack([xx, yy, z], axis=-1))
+    fov_arr = jnp.asarray(fov)
+    inv_tan = 1.0 / jnp.tan(fov_arr * (math.pi / 360.0))
+    if fov_arr.ndim == 0:
+        z = jnp.broadcast_to(inv_tan, xx.shape).astype(dtype)
+        return normalize_vecs(jnp.stack([xx, yy, z], axis=-1))
+    # batched fov (B,): per-image focal lengths in one dispatch (orbit-video
+    # fov sweeps render whole frame blocks at once) → (B, W*H, 3)
+    B = fov_arr.shape[0]
+    n = xx.shape[0]
+    xxb = jnp.broadcast_to(xx[None], (B, n))
+    yyb = jnp.broadcast_to(yy[None], (B, n))
+    zb = jnp.broadcast_to(inv_tan[:, None], (B, n)).astype(dtype)
+    return normalize_vecs(jnp.stack([xxb, yyb, zb], axis=-1))
 
 
 def get_initial_rays(
@@ -85,11 +94,13 @@ def get_initial_rays(
                         row_offset=row_offset, full_height=full_height)
     z_vals = jnp.linspace(ray_start, ray_end, num_steps, dtype=dtype)
     z_vals = jnp.broadcast_to(z_vals[None, :, None], (width * height, num_steps, 1))
-    points = rays_d[:, None, :] * z_vals  # (WH, S, 3)
-
-    points = jnp.broadcast_to(points[None], (batch_size, *points.shape))
+    if rays_d.ndim == 3:  # batched per-image fov: rays_d is (B, WH, 3)
+        points = rays_d[:, :, None, :] * z_vals[None]  # (B, WH, S, 3)
+    else:
+        points = rays_d[:, None, :] * z_vals  # (WH, S, 3)
+        points = jnp.broadcast_to(points[None], (batch_size, *points.shape))
+        rays_d = jnp.broadcast_to(rays_d[None], (batch_size, *rays_d.shape))
     z_vals = jnp.broadcast_to(z_vals[None], (batch_size, *z_vals.shape))
-    rays_d = jnp.broadcast_to(rays_d[None], (batch_size, *rays_d.shape))
     return points, z_vals, rays_d
 
 

@@ -85,7 +85,7 @@ def render_ray_sharded(
 
     fn = _sharded_render_fn(generator, config, mesh, axis_name, rng is not None)
     key = jax.random.PRNGKey(0) if rng is None else rng
-    fov_t = jnp.float32(config.fov if fov is None else fov)
+    fov_t = jnp.asarray(config.fov if fov is None else fov, jnp.float32)
     noise_t = jnp.float32(nerf_noise)
     repl = NamedSharding(mesh, P())
     params, z, cam2world, key = jax.device_put((params, z, cam2world, key), repl)

@@ -59,6 +59,10 @@ def main(argv=None):
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
 
+    from conditioned_nerf_gan_tpu.utils import setup_compile_cache
+
+    setup_compile_cache()
+
     from conditioned_nerf_gan_tpu.infer import Inferencer
 
     load_dataset = not opt.interpolate

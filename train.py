@@ -75,6 +75,10 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from conditioned_nerf_gan_tpu.utils import setup_compile_cache
+
+    setup_compile_cache()
+
     from conditioned_nerf_gan_tpu.parallel import (
         distributed_requested,
         initialize_distributed,
