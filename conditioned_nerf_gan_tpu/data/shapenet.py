@@ -104,6 +104,7 @@ class ShapeNetDataset:
                 raise ValueError(f"Undefined dataset mode {dataset_mode!r}")
 
         self.data *= multifold
+        self.seed = seed
         self._rng = random.Random(seed)
         if shuffle:
             self._rng.shuffle(self.data)
@@ -129,6 +130,15 @@ class ShapeNetDataset:
             pcl0 = np.load(self.data[0].parent.parent / "pcl_color.npy", mmap_mode="r")
             ratio = metadata.get("num_points_ratio", 1.0)
             self.num_points = max(1, int(pcl0.shape[0] * ratio))
+
+    def reseed(self, epoch: int) -> None:
+        """Re-key the per-sample rng (pcl subsample, cond-view pick) to a pure
+        function of (seed, epoch). DataLoader calls this at each epoch start,
+        so a sample's content depends only on (epoch, position) — never on
+        how many accesses preceded it — which is what lets a resumed run
+        fast-forward to the checkpointed loader position and replay batches
+        bit-exactly (trainer.py resume continuity)."""
+        self._rng = random.Random((self.seed + 1) * 1_000_003 + epoch)
 
     def __len__(self) -> int:
         return len(self.data)
@@ -266,6 +276,8 @@ class DataLoader:
 
     def __iter__(self):
         idx = self._epoch_indices()
+        if hasattr(self.dataset, "reseed"):
+            self.dataset.reseed(self.epoch)
         self.epoch += 1
         n_batches = len(idx) // self.batch_size if self.drop_last else -(
             -len(idx) // self.batch_size

@@ -85,6 +85,13 @@ class Trainer:
         self._render_cache: dict = {}
         self.step = 0
         self.epoch = 0
+        # dataloader position (epoch being consumed + batches consumed in
+        # it), persisted in checkpoints so a resumed run replays the exact
+        # batch sequence: with the per-step rng folded on state.step
+        # (train_step.py), this makes resume bit-deterministic end to end.
+        self._loader_epoch = 0
+        self._batch_offset = 0
+        self._restored_loader_state: dict | None = None
 
         ds_meta = self.metadata["dataset"]
         common = dict(
@@ -205,6 +212,7 @@ class Trainer:
             for k in HISTORY_KEYS:
                 self.histories[k] = histories.get(k, [])
             self.step = int(self.state.step)
+            self._restored_loader_state = histories.get("loader_state")
         else:
             print("Creating untrained models")
         self._rebuild_step_fn()
@@ -383,6 +391,15 @@ class Trainer:
     def train(self) -> None:
         self.write_train_settings()
         dataloader = self._make_dataloader()
+        # resume: put the loader back at the checkpointed epoch and fast-
+        # forward the batches the interrupted run already consumed (the
+        # reference restores only the step counter, utils.py:318-319 — its
+        # resumed batch sequence silently diverges; here it replays exactly)
+        pending_skip = 0
+        if self._restored_loader_state:
+            dataloader.epoch = int(self._restored_loader_state["epoch"])
+            pending_skip = int(self._restored_loader_state["offset"])
+            self._restored_loader_state = None
         # One identical key on every process: the rng input is declared
         # replicated in the jitted step's shardings, and SPMD replication
         # requires replicated inputs to be bitwise equal across processes.
@@ -397,7 +414,13 @@ class Trainer:
             if self.is_main:
                 print(f"---- {self.epoch}_th epoch ----", flush=True)
             restart_epoch = False
+            # epoch about to be consumed (DataLoader.__iter__ bumps .epoch)
+            self._loader_epoch = dataloader.epoch
+            self._batch_offset = pending_skip
             for batch in dataloader:
+                if pending_skip > 0:
+                    pending_skip -= 1
+                    continue
                 if self.update_metadata():
                     if self._data_changed:
                         print(f"Metadata updated at step {self.step}. "
@@ -429,6 +452,7 @@ class Trainer:
                 )
                 metrics = {k: float(v) for k, v in metrics.items()}
                 self._record(metrics)
+                self._batch_offset += 1
                 steps_elapsed += time.time() - t0
 
                 if self.print_stats(steps_elapsed) is not None:
@@ -456,7 +480,8 @@ class Trainer:
         ).exists():
             print(f"Saving final checkpoint at step {self.step - 1}")
             save_checkpoint(
-                self.checkpoints_path, self.step - 1, self.state, self.histories
+                self.checkpoints_path, self.step - 1, self.state,
+                self._checkpoint_payload(),
             )
 
     def _put_batch(self, batch: dict) -> dict:
@@ -633,11 +658,19 @@ class Trainer:
     # ------------------------------------------------------------------
     # persistence / evaluation
     # ------------------------------------------------------------------
+    def _checkpoint_payload(self) -> dict:
+        return {
+            **self.histories,
+            "loader_state": {"epoch": self._loader_epoch,
+                             "offset": self._batch_offset},
+        }
+
     def save_models(self) -> None:
         if self.is_main and (self.step + 1) % self.args.eval_freq == 0:
             print(f"Saving checkpoint at step {self.step}")
             save_checkpoint(
-                self.checkpoints_path, self.step, self.state, self.histories
+                self.checkpoints_path, self.step, self.state,
+                self._checkpoint_payload(),
             )
 
     def evaluate(self) -> None:

