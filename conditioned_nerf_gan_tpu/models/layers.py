@@ -129,6 +129,13 @@ class TorchLinear(nn.Module):
             # (B, k, F) weight-grad batched matmul on the MXU instead of a
             # pointwise multiply-reduce over every sample point (profiled at
             # 129 ms/split on v5e — the single largest render-backward op).
+            # NOTE on the backward: the r3 stage-2 profile shows the six
+            # folded-FiLM dgrad fusions at 29 ms each with fp32 layouts, but
+            # forcing their matmuls onto the bf16 MXU via a custom VJP
+            # (ops.mixed.mixed_fold_einsum) measured 1.30 vs 1.18 s/step —
+            # XLA fuses the dX dot INTO the sin-tangent VPU chain, so the
+            # fusion is VPU-bound and splitting it out only adds HBM
+            # round-trips. Keep plain autodiff here.
             dt = self.dtype or x.dtype
             scaled = (kernel[None] * fold_scale[:, None, :]).astype(dt)
             y = jnp.einsum(

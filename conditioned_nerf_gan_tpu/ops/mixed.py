@@ -66,3 +66,46 @@ def _mixed_dot_bwd(dtype, res, g):
 
 
 mixed_dot.defvjp(_mixed_dot_fwd, _mixed_dot_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def mixed_fold_einsum(x, scaled, dtype=jnp.bfloat16):
+    """Batched `bnk,bkf->bnf` einsum with `dtype` operands, fp32 output, and
+    a `dtype`-operand backward (fp32 MXU accumulation throughout).
+
+    MEASURED-NEGATIVE on the folded-FiLM path it was built for (kept as the
+    documented experiment): the r3 stage-2 profile shows the six folded-FiLM
+    dgrad fusions at 29 ms each with fp32 layouts, suggesting fp32-rate
+    backward matmuls, but swapping this op in measured 1.30 vs 1.18 s/step —
+    XLA fuses the autodiff dX dot INTO the sin-tangent VPU chain (the
+    "multiply_subtract" fusions are VPU-bound, the dot rides along), and
+    splitting it out via custom_vjp only adds bf16-cast HBM round-trips.
+    models/layers.py therefore keeps plain autodiff for fold_scale.
+
+    x: (B, N, K) fp32 activations; scaled: (B, K, F) fp32 folded weights.
+    """
+    return jnp.einsum(
+        "bnk,bkf->bnf", x.astype(dtype), scaled.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mixed_fold_fwd(x, scaled, dtype):
+    xl = x.astype(dtype)
+    sl = scaled.astype(dtype)
+    y = jnp.einsum("bnk,bkf->bnf", xl, sl,
+                   preferred_element_type=jnp.float32)
+    return y, (xl, sl, jnp.zeros((0,), x.dtype), jnp.zeros((0,), scaled.dtype))
+
+
+def _mixed_fold_bwd(dtype, res, g):
+    xl, sl, x_proto, s_proto = res
+    gl = g.astype(dtype)
+    dx = jnp.einsum("bnf,bkf->bnk", gl, sl,
+                    preferred_element_type=jnp.float32).astype(x_proto.dtype)
+    ds = jnp.einsum("bnk,bnf->bkf", xl, gl,
+                    preferred_element_type=jnp.float32).astype(s_proto.dtype)
+    return dx, ds
+
+
+mixed_fold_einsum.defvjp(_mixed_fold_fwd, _mixed_fold_bwd)

@@ -92,39 +92,73 @@ def analyze(trace_dir: str, steps: int, top: int) -> None:
     with gzip.open(paths[0], "rt") as f:
         trace = json.load(f)
     events = trace["traceEvents"]
-    # device-side complete events only (TensorFlow-op rows carry 'dur')
+    # leaf XLA ops only — the trace also carries module/step container rows
+    # ("jit_train_step", "while.N") that would double-count
     per_op: dict[str, float] = defaultdict(float)
-    pid_names = {
-        e["pid"]: e["args"].get("name", "")
+    tid_names = {
+        (e["pid"], e["tid"]): e["args"].get("name", "")
         for e in events
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-        and "args" in e
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+        and "args" in e and "tid" in e
     }
-    device_pids = {p for p, name in pid_names.items()
-                   if "TPU" in name or "/device" in name.lower()}
+    op_tids = {k for k, name in tid_names.items() if "XLA Ops" in name}
+    assert op_tids, f"no 'XLA Ops' thread rows; threads: {set(tid_names.values())}"
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        if device_pids and e.get("pid") not in device_pids:
+        if (e.get("pid"), e.get("tid")) not in op_tids:
             continue
         per_op[e["name"]] += e["dur"]  # microseconds
 
-    total = sum(per_op.values())
-    print(f"device total: {total/1e3/steps:.1f} ms/step over {steps} steps "
-          f"({len(per_op)} distinct ops)")
-    ranked = sorted(per_op.items(), key=lambda kv: -kv[1])
-    print(f"\ntop {top} ops (ms/step):")
-    for name, dur in ranked[:top]:
-        print(f"  {dur/1e3/steps:8.2f}  {name[:110]}")
+    # while.* rows are containers whose inner ops appear as separate events
+    # on the same thread — split them out and attribute leaves by timestamp
+    whiles = []
+    leaves = []
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if (e.get("pid"), e.get("tid")) not in op_tids:
+            continue
+        (whiles if e["name"].startswith("while") else leaves).append(e)
 
-    print("\nbuckets (ms/step):")
-    rest = total
-    for label, keys in BUCKETS:
-        t = sum(d for nm, d in per_op.items()
-                if any(k in nm.lower() for k in keys))
-        rest -= t
-        print(f"  {t/1e3/steps:8.2f}  {label}")
-    print(f"  {rest/1e3/steps:8.2f}  elementwise/other (incl. sin chains)")
+    leaf_total = sum(e["dur"] for e in leaves)
+    print(f"device leaf total: {leaf_total/1e3/steps:.1f} ms/step over "
+          f"{steps} steps ({len(per_op)} distinct ops)")
+    spans = defaultdict(list)
+    for e in whiles:
+        spans[e["name"]].append((e["ts"], e["ts"] + e["dur"]))
+    print("\nloop containers (ms/step):")
+    for name in sorted(spans, key=lambda n: -sum(b - a for a, b in spans[n])):
+        t = sum(b - a for a, b in spans[name])
+        print(f"  {t/1e3/steps:8.2f}  {name}  (x{len(spans[name])})")
+
+    def container_of(e):
+        for name, ss in spans.items():
+            for a, b in ss:
+                if a <= e["ts"] and e["ts"] + e["dur"] <= b:
+                    return name
+        return "<top-level>"
+
+    per_scope: dict[str, dict[str, float]] = defaultdict(
+        lambda: defaultdict(float))
+    for e in leaves:
+        per_scope[container_of(e)][e["name"]] += e["dur"]
+
+    for scope in sorted(per_scope,
+                        key=lambda s: -sum(per_scope[s].values())):
+        ops = per_scope[scope]
+        t_scope = sum(ops.values())
+        print(f"\n=== {scope}: {t_scope/1e3/steps:.1f} ms/step ===")
+        for name, dur in sorted(ops.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"  {dur/1e3/steps:8.2f}  {name[:100]}")
+        print("  buckets:", end="")
+        rest = t_scope
+        for label, keys in BUCKETS:
+            t = sum(d for nm, d in ops.items()
+                    if any(k in nm.lower() for k in keys))
+            rest -= t
+            print(f"  {label}={t/1e3/steps:.1f}", end="")
+        print(f"  elementwise/other={rest/1e3/steps:.1f}  (ms/step)")
 
 
 def main():

@@ -79,3 +79,34 @@ def test_mixed_dot_matches_fp32_and_dtypes():
     assert ys.shape == (4,)
     g2 = jax.grad(lambda xx: jnp.sum(jax.vmap(lambda t: mixed_dot(t, w))(xx)))(x)
     assert g2.shape == x.shape and g2.dtype == jnp.float32
+
+
+def test_mixed_fold_einsum_grads_match_autodiff():
+    """The folded-FiLM custom VJP must match autodiff of the same einsum to
+    bf16 tolerance (r3: keeps the six FiLM dgrad matmuls on the bf16 MXU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conditioned_nerf_gan_tpu.ops.mixed import mixed_fold_einsum
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 32)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(2, 32, 16)).astype(np.float32))
+
+    def loss_custom(x, s):
+        return jnp.sum(jnp.sin(mixed_fold_einsum(x, s, jnp.bfloat16)) ** 2)
+
+    def loss_ref(x, s):
+        y = jnp.einsum("bnk,bkf->bnf", x.astype(jnp.bfloat16),
+                       s.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return jnp.sum(jnp.sin(y) ** 2)
+
+    v1, (gx1, gs1) = jax.value_and_grad(loss_custom, argnums=(0, 1))(x, s)
+    v2, (gx2, gs2) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, s)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs2),
+                               rtol=2e-2, atol=2e-2)
+    assert gx1.dtype == jnp.float32 and gs1.dtype == jnp.float32
