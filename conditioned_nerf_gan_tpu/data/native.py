@@ -110,3 +110,54 @@ def read_png16_batch(paths: list[str | Path], img_size: int,
     if rc != 0:
         raise RuntimeError(f"fastload_batch failed with code {rc}")
     return out
+
+
+def _exr_bound(lib):
+    if getattr(lib, "_exr_bound", False):
+        return
+    lib.fastload_exr_depth.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.fastload_exr_depth.restype = ctypes.c_int
+    lib.fastload_exr_depth_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+    ]
+    lib.fastload_exr_depth_batch.restype = ctypes.c_int
+    lib._exr_bound = True
+
+
+def read_exr_depth_native(path: str | Path, img_size: int) -> np.ndarray:
+    """C++ EXR depth decode (data/exr.py::read_exr_depth semantics):
+    R channel, 65504 -> inf before the area resize, non-finite zeroed."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("fastload library unavailable")
+    _exr_bound(lib)
+    out = np.empty((img_size, img_size), np.float32)
+    rc = lib.fastload_exr_depth(
+        str(path).encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), img_size,
+    )
+    if rc != 0:
+        raise RuntimeError(f"fastload_exr_depth({path}) failed with code {rc}")
+    return out
+
+
+def read_exr_depth_batch(paths: list[str | Path], img_size: int,
+                         n_threads: int | None = None) -> np.ndarray:
+    """Thread-pool EXR depth decode -> (N, S, S) float32."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("fastload library unavailable")
+    _exr_bound(lib)
+    n = len(paths)
+    out = np.empty((n, img_size, img_size), np.float32)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    rc = lib.fastload_exr_depth_batch(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        img_size, n_threads or min(8, os.cpu_count() or 1),
+    )
+    if rc != 0:
+        raise RuntimeError(f"fastload_exr_depth_batch failed with code {rc}")
+    return out

@@ -178,7 +178,12 @@ class ShapeNetDataset:
         if self.load_depth:
             depth_path = car_dir / "depth" / (img_path.stem + "0001.exr")
             if depth_path.exists():
-                depth = read_exr_depth(depth_path, self.img_size)
+                if self._use_native:
+                    from .native import read_exr_depth_native
+
+                    depth = read_exr_depth_native(depth_path, self.img_size)
+                else:
+                    depth = read_exr_depth(depth_path, self.img_size)
             else:  # synthetic fixtures store depth as .npy
                 depth = np.load(car_dir / "depth" / (img_path.stem + ".npy"))
                 if depth.shape[0] != self.img_size:

@@ -12,18 +12,29 @@
 //                      float scale, float shift);
 //   int fastload_batch(const char** paths, int n, float* out, int out_size,
 //                      float scale, float shift, int n_threads);
-// Returns 0 on success; negative error codes otherwise. `out` is
+//   int fastload_exr_depth(const char* path, float* out, int out_size);
+//   int fastload_exr_depth_batch(const char** paths, int n, float* out,
+//                                int out_size, int n_threads);
+// Returns 0 on success; negative error codes otherwise. PNG `out` is
 // (n, out_size, out_size, 3) float32, value = pixel/65535 * scale + shift.
+// EXR `out` is (n, out_size, out_size) float32 z-depth with the reference's
+// background convention (datasets.py:183-216): 65504 (half max) -> inf
+// before the area resize, non-finite zeroed after — matching
+// data/exr.py::read_exr_depth. Supports single-part scanline files with
+// HALF/FLOAT channels and NONE/RLE/ZIPS/ZIP compression.
 //
 // Build: g++ -O3 -shared -fPIC -o libfastload.so fastload.cc -lz -lpthread
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdlib>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <thread>
 #include <vector>
 
@@ -183,6 +194,260 @@ void ResizeNormalize(const Image& img, float* out, int out_size, float scale,
   }
 }
 
+// ---------------------------------------------------------------------------
+// EXR depth decoding (mirror of conditioned_nerf_gan_tpu/data/exr.py)
+// ---------------------------------------------------------------------------
+
+float HalfToFloat(uint16_t h) {
+  const uint32_t sign = uint32_t(h >> 15) << 31;
+  uint32_t exp = (h >> 10) & 0x1f;
+  uint32_t mant = h & 0x3ff;
+  uint32_t bits;
+  if (exp == 0) {
+    if (mant == 0) {
+      bits = sign;
+    } else {  // subnormal half -> normalized float
+      exp = 127 - 15 + 1;
+      while ((mant & 0x400) == 0) {
+        mant <<= 1;
+        --exp;
+      }
+      mant &= 0x3ff;
+      bits = sign | (exp << 23) | (mant << 13);
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7f800000 | (mant << 13);  // inf / nan
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (mant << 13);
+  }
+  float out;
+  memcpy(&out, &bits, 4);
+  return out;
+}
+
+// Undo the EXR zip/rle postprocess: delta predictor + byte-plane interleave.
+void UnpredictInterleave(std::vector<uint8_t>* data) {
+  std::vector<uint8_t>& d = *data;
+  for (size_t i = 1; i < d.size(); ++i) d[i] = uint8_t(d[i] + d[i - 1] - 128);
+  std::vector<uint8_t> inter(d.size());
+  const size_t half = (d.size() + 1) / 2;
+  size_t a = 0, b = half, o = 0;
+  while (o < d.size()) {
+    inter[o++] = d[a++];
+    if (o < d.size()) inter[o++] = d[b++];
+  }
+  d.swap(inter);
+}
+
+int RleDecompress(const uint8_t* in, size_t in_len, std::vector<uint8_t>* out,
+                  size_t expected) {
+  out->clear();
+  out->reserve(expected);
+  size_t i = 0;
+  while (i < in_len) {
+    const int8_t count = int8_t(in[i++]);
+    if (count < 0) {
+      const size_t run = size_t(-int(count));
+      if (i + run > in_len || out->size() + run > expected) return kErrFormat;
+      out->insert(out->end(), in + i, in + i + run);
+      i += run;
+    } else {
+      if (i >= in_len) return kErrFormat;
+      const size_t run = size_t(count) + 1;
+      if (out->size() + run > expected) return kErrFormat;
+      out->insert(out->end(), run, in[i++]);
+    }
+  }
+  return 0;
+}
+
+struct ExrChannel {
+  char name[32];
+  int pixel_type;  // 0=uint32 1=half 2=float
+};
+
+// Decode the R channel (or the alphabetically-first one) of a single-part
+// scanline EXR into (height, width) float32.
+int DecodeExrDepth(const char* path, std::vector<float>* out_px, int* out_w,
+                   int* out_h) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return kErrOpen;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> data(size);
+  if (size < 8 || fread(data.data(), 1, size, f) != size_t(size)) {
+    fclose(f);
+    return kErrOpen;
+  }
+  fclose(f);
+
+  auto rd32 = [&](size_t p) -> uint32_t {
+    return uint32_t(data[p]) | (uint32_t(data[p + 1]) << 8) |
+           (uint32_t(data[p + 2]) << 16) | (uint32_t(data[p + 3]) << 24);
+  };
+  if (rd32(0) != 20000630u) return kErrFormat;
+  if (rd32(4) & 0x200) return kErrUnsupported;  // tiled
+
+  auto read_cstr = [&](size_t* p, char* buf, size_t cap) -> bool {
+    size_t n = 0;
+    while (*p < data.size() && data[*p] != 0) {
+      if (n + 1 < cap) buf[n++] = char(data[*p]);
+      ++(*p);
+    }
+    if (*p >= data.size()) return false;
+    buf[n] = 0;
+    ++(*p);
+    return true;
+  };
+
+  std::vector<ExrChannel> channels;
+  int compression = 0;
+  int x_min = 0, y_min = 0, x_max = -1, y_max = -1;
+  size_t pos = 8;
+  char name[64], type[64];
+  for (;;) {
+    if (!read_cstr(&pos, name, sizeof(name))) return kErrFormat;
+    if (name[0] == 0) break;
+    if (!read_cstr(&pos, type, sizeof(type))) return kErrFormat;
+    if (pos + 4 > data.size()) return kErrFormat;
+    const uint32_t attr_len = rd32(pos);
+    pos += 4;
+    if (attr_len > data.size() - pos) return kErrFormat;
+    const size_t payload = pos;
+    if (strcmp(name, "channels") == 0) {
+      size_t cp = payload;
+      while (cp < payload + attr_len && data[cp] != 0) {
+        ExrChannel ch;
+        if (!read_cstr(&cp, ch.name, sizeof(ch.name))) return kErrFormat;
+        if (cp + 16 > payload + attr_len) return kErrFormat;
+        ch.pixel_type = int(rd32(cp));
+        if (ch.pixel_type < 0 || ch.pixel_type > 2) return kErrUnsupported;
+        cp += 16;  // type + pLinear/reserved + xSampling + ySampling
+        channels.push_back(ch);
+      }
+    } else if (strcmp(name, "dataWindow") == 0) {
+      if (attr_len < 16) return kErrFormat;
+      x_min = int(rd32(payload));
+      y_min = int(rd32(payload + 4));
+      x_max = int(rd32(payload + 8));
+      y_max = int(rd32(payload + 12));
+    } else if (strcmp(name, "compression") == 0) {
+      if (attr_len < 1) return kErrFormat;
+      compression = data[payload];
+    }
+    pos += attr_len;
+  }
+  const int width = x_max - x_min + 1;
+  const int height = y_max - y_min + 1;
+  if (width <= 0 || height <= 0 || width > (1 << 16) || height > (1 << 16) ||
+      channels.empty())
+    return kErrFormat;
+  int lines_per_chunk;
+  switch (compression) {
+    case 0: case 1: case 2: lines_per_chunk = 1; break;   // NONE/RLE/ZIPS
+    case 3: lines_per_chunk = 16; break;                  // ZIP
+    default: return kErrUnsupported;
+  }
+  // EXR stores channels alphabetically; pick "R" else the first
+  std::sort(channels.begin(), channels.end(),
+            [](const ExrChannel& a, const ExrChannel& b) {
+              return strcmp(a.name, b.name) < 0;
+            });
+  size_t target = 0;
+  for (size_t i = 0; i < channels.size(); ++i)
+    if (strcmp(channels[i].name, "R") == 0) target = i;
+  static const int kTypeBytes[3] = {4, 2, 4};
+
+  const int n_chunks = (height + lines_per_chunk - 1) / lines_per_chunk;
+  pos += size_t(n_chunks) * 8;  // skip the scanline offset table
+  size_t row_bytes = 0, target_off = 0;
+  for (size_t i = 0; i < channels.size(); ++i) {
+    if (i == target) target_off = row_bytes;
+    row_bytes += size_t(width) * kTypeBytes[channels[i].pixel_type];
+  }
+
+  out_px->assign(size_t(width) * height, 0.0f);
+  *out_w = width;
+  *out_h = height;
+  std::vector<uint8_t> chunk;
+  for (int ci = 0; ci < n_chunks; ++ci) {
+    if (pos + 8 > data.size()) return kErrFormat;
+    const int y = int(rd32(pos));
+    const uint32_t nbytes = rd32(pos + 4);
+    pos += 8;
+    if (nbytes > data.size() - pos) return kErrFormat;
+    const int n_lines = std::min(lines_per_chunk, y_max - y + 1);
+    if (y < y_min || n_lines <= 0) return kErrFormat;
+    const size_t expected = row_bytes * n_lines;
+    const uint8_t* body = &data[pos];
+    size_t body_len = nbytes;
+    if ((compression == 2 || compression == 3) && nbytes < expected) {
+      chunk.resize(expected);
+      uLongf raw_len = expected;
+      if (uncompress(chunk.data(), &raw_len, body, nbytes) != Z_OK ||
+          raw_len != expected)
+        return kErrInflate;
+      UnpredictInterleave(&chunk);
+      body = chunk.data();
+      body_len = expected;
+    } else if (compression == 1 && nbytes < expected) {
+      std::vector<uint8_t> rle;
+      if (RleDecompress(body, nbytes, &rle, expected) != 0) return kErrFormat;
+      if (rle.size() != expected) return kErrFormat;
+      chunk.swap(rle);
+      UnpredictInterleave(&chunk);
+      body = chunk.data();
+      body_len = expected;
+    }
+    if (body_len < expected) return kErrFormat;
+    pos += nbytes;
+    const int tb = kTypeBytes[channels[target].pixel_type];
+    for (int line = 0; line < n_lines; ++line) {
+      const uint8_t* src = body + row_bytes * line + target_off;
+      float* dst = out_px->data() + size_t(y - y_min + line) * width;
+      if (channels[target].pixel_type == 1) {
+        for (int x = 0; x < width; ++x) {
+          uint16_t h;
+          memcpy(&h, src + size_t(x) * tb, 2);
+          dst[x] = HalfToFloat(h);
+        }
+      } else if (channels[target].pixel_type == 2) {
+        memcpy(dst, src, size_t(width) * 4);
+      } else {  // uint32
+        for (int x = 0; x < width; ++x) {
+          uint32_t v;
+          memcpy(&v, src + size_t(x) * tb, 4);
+          dst[x] = float(v);
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+// Area-average resize of a single-channel depth map; inf-poisoned windows
+// collapse to 0 afterwards (the background convention).
+void ResizeDepth(const std::vector<float>& px, int w, int h, float* out,
+                 int out_size) {
+  const float fy = float(h) / out_size;
+  const float fx = float(w) / out_size;
+  for (int oy = 0; oy < out_size; ++oy) {
+    const int y0 = int(oy * fy);
+    const int y1 = std::max(y0 + 1, std::min(int((oy + 1) * fy + 0.9999f), h));
+    for (int ox = 0; ox < out_size; ++ox) {
+      const int x0 = int(ox * fx);
+      const int x1 =
+          std::max(x0 + 1, std::min(int((ox + 1) * fx + 0.9999f), w));
+      float acc = 0.0f;
+      for (int y = y0; y < y1; ++y)
+        for (int x = x0; x < x1; ++x) acc += px[size_t(y) * w + x];
+      const float mean = acc / float((y1 - y0) * (x1 - x0));
+      out[size_t(oy) * out_size + ox] = std::isfinite(mean) ? mean : 0.0f;
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -194,6 +459,43 @@ int fastload_png16(const char* path, float* out, int out_size, float scale,
   if (rc != 0) return rc;
   ResizeNormalize(img, out, out_size, scale, shift);
   return 0;
+}
+
+int fastload_exr_depth(const char* path, float* out, int out_size) {
+  std::vector<float> px;
+  int w = 0, h = 0;
+  const int rc = DecodeExrDepth(path, &px, &w, &h);
+  if (rc != 0) return rc;
+  // the reference's background convention (datasets.py:183-216): the half
+  // max 65504 marks background; mark it inf BEFORE the resize so any
+  // averaged window touching background collapses to 0 afterwards
+  for (float& v : px)
+    if (v == 65504.0f) v = std::numeric_limits<float>::infinity();
+  ResizeDepth(px, w, h, out, out_size);
+  return 0;
+}
+
+int fastload_exr_depth_batch(const char** paths, int n, float* out,
+                             int out_size, int n_threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> status(0);
+  const size_t per_img = size_t(out_size) * out_size;
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const int rc = fastload_exr_depth(paths[i], out + per_img * i, out_size);
+      if (rc != 0) status.store(rc);
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return status.load();
 }
 
 int fastload_batch(const char** paths, int n, float* out, int out_size,

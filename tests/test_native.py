@@ -132,3 +132,44 @@ def test_corrupt_png_rejected(png_files, tmp_path):
         + chunk(b"IEND", b"")
     )
     expect_error(data, "short_stream")
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+@pytest.mark.parametrize("compression", [0, 1])
+def test_exr_depth_matches_python_reader(tmp_path, compression):
+    """C++ EXR depth decode == data/exr.py::read_exr_depth on NONE and RLE
+    files (half-float R channel, 65504->inf->0 background convention)."""
+    from test_data import _write_exr
+
+    from conditioned_nerf_gan_tpu.data.exr import read_exr_depth
+
+    h = w = 32
+    rng = np.random.default_rng(7 + compression)
+    depth = rng.uniform(0.3, 1.9, (h, w)).astype(np.float32)
+    depth[:6] = 65504.0  # background band (half max)
+    depth[10:12, 4:9] = 65504.0
+    path = tmp_path / f"d{compression}.exr"
+    _write_exr(path, depth, compression=compression)
+
+    for size in (32, 16):  # identity + area downscale
+        ref = read_exr_depth(path, size).astype(np.float32)
+        got = native.read_exr_depth_native(path, size)
+        np.testing.assert_allclose(got, ref, atol=2e-3,
+                                   err_msg=f"size {size} comp {compression}")
+        assert (got[: 6 * size // h] == 0).all()  # background zeroed
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_exr_depth_batch_threadpool(tmp_path):
+    from test_data import _write_exr
+
+    rng = np.random.default_rng(0)
+    paths, refs = [], []
+    for i in range(5):
+        d = rng.uniform(0.3, 1.9, (16, 16)).astype(np.float32)
+        p = tmp_path / f"{i}.exr"
+        _write_exr(p, d, compression=1)
+        paths.append(p)
+        refs.append(native.read_exr_depth_native(p, 16))
+    batch = native.read_exr_depth_batch(paths, 16, n_threads=3)
+    np.testing.assert_allclose(batch, np.stack(refs), atol=0)
