@@ -208,7 +208,25 @@ class Trainer:
 
         if load_path is not None:
             print(f"Resuming from checkpoint {load_path}")
-            self.state, histories = restore_checkpoint(load_path, self.state)
+            try:
+                self.state, histories = restore_checkpoint(load_path, self.state)
+            except (KeyError, ValueError, TypeError) as e:
+                # The optimizer-state pytree no longer matches the optax
+                # chain that wrote the checkpoint (e.g. a framework upgrade
+                # changed the chain composition). Model params still load —
+                # fall back to params-only with fresh optimizer state so a
+                # long run survives the upgrade instead of dying at requeue.
+                import warnings
+
+                warnings.warn(
+                    f"full checkpoint restore failed ({e}); falling back to "
+                    "params-only resume with FRESH optimizer state — "
+                    "momentum/second-moment statistics are reset",
+                    stacklevel=2,
+                )
+                self.state, histories = restore_checkpoint(
+                    load_path, self.state, params_only=True
+                )
             for k in HISTORY_KEYS:
                 self.histories[k] = histories.get(k, [])
             self.step = int(self.state.step)
