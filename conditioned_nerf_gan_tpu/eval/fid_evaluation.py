@@ -132,15 +132,22 @@ def evaluate_trainer(trainer, metadata: dict):
         trainer.process_index, trainer.process_count,
     )
     sync_processes("eval_image_shards_written")
-    if not trainer.is_main:
-        return None
-    val_lst = Path(metadata["dataset"]["path"]).parent / "val.lst"
-    if not val_lst.exists():
-        print(f"val.lst not found at {val_lst}; skipping paired metrics")
-        from .metrics import compute_fid_from_dirs
+    results = None
+    if trainer.is_main:
+        val_lst = Path(metadata["dataset"]["path"]).parent / "val.lst"
+        if not val_lst.exists():
+            print(f"val.lst not found at {val_lst}; skipping paired metrics")
+            from .metrics import compute_fid_from_dirs
 
-        fid = compute_fid_from_dirs(real_dir, trainer.evaluation_path)
-        return fid, float("nan"), float("nan"), float("nan")
-    return compute_metrics_from_dirs(
-        real_dir, trainer.evaluation_path, val_lst
-    )
+            fid = compute_fid_from_dirs(real_dir, trainer.evaluation_path)
+            results = (fid, float("nan"), float("nan"), float("nan"))
+        else:
+            results = compute_metrics_from_dirs(
+                real_dir, trainer.evaluation_path, val_lst
+            )
+    # third barrier (beyond the reference's pair): the main process just
+    # spent up to minutes scoring metrics — without this, the other
+    # processes' NEXT training-step collective would sit in the 30 s gloo
+    # rendezvous window waiting for it and time out.
+    sync_processes("eval_metrics_done")
+    return results

@@ -9,6 +9,7 @@ from .mesh import (
     data_sharding,
 )
 from .distributed import (
+    compile_aligned,
     initialize_distributed,
     distributed_requested,
     sync_processes,
@@ -21,6 +22,7 @@ __all__ = [
     "compile_train_step",
     "data_sharding",
     "render_ray_sharded",
+    "compile_aligned",
     "initialize_distributed",
     "distributed_requested",
     "sync_processes",

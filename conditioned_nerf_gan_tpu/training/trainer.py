@@ -44,7 +44,13 @@ from ..data import DataLoader, ShapeNetDataset
 from ..models import ImplicitGenerator3d, ResnetPointnet, make_discriminator, make_unet
 from ..models.generator import RenderConfig
 from ..models.pointnet import encode_pcl
-from ..parallel import compile_train_step, make_mesh, replicate, shard_batch
+from ..parallel import (
+    compile_aligned,
+    compile_train_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from ..utils import save_image_grid
 from .checkpoints import find_newest_checkpoint, restore_checkpoint, save_checkpoint
 from .schedules import fade_alpha, nerf_noise_schedule
@@ -200,7 +206,11 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec
 
             repl = NamedSharding(self.mesh, PartitionSpec())
-            self.state = jax.jit(init_fn, out_shardings=repl)(
+            init_jit = jax.jit(init_fn, out_shardings=repl)
+            # leader-first compile + barrier: every process must enter the
+            # executable's first run (the gloo communicator rendezvous, a
+            # hard 30 s window) together — see parallel.compile_aligned.
+            self.state = compile_aligned(init_jit, np.asarray(key), sample_batch)(
                 np.asarray(key), sample_batch
             )
         else:
@@ -309,6 +319,10 @@ class Trainer:
             self.state = replicate(self.state, self.mesh)
         else:
             self._step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        # multi-process: the new executable's first run creates gloo
+        # communicators (hard 30 s rendezvous) — align it at the first
+        # invocation, where the real arguments are available.
+        self._step_fn_needs_align = self.process_count > 1 and n_dev > 1
 
     def update_metadata(self) -> bool:
         """Refresh per-step hyperparameters; True if anything baked into the
@@ -464,6 +478,12 @@ class Trainer:
                     print(f"Wrote profiler trace to {profile_dir}")
                 t0 = time.time()
                 batch_dev = self._put_batch(batch)
+                if self._step_fn_needs_align:
+                    self._step_fn = compile_aligned(
+                        self._step_fn, self.state, batch_dev, rng,
+                        np.float32(self.alpha), np.float32(self.nerf_noise),
+                    )
+                    self._step_fn_needs_align = False
                 self.state, metrics = self._step_fn(
                     self.state, batch_dev, rng,
                     np.float32(self.alpha), np.float32(self.nerf_noise),

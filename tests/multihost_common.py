@@ -69,7 +69,11 @@ def run_one_step(mesh, local_or_global_batch: dict, force_global: bool = False):
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from conditioned_nerf_gan_tpu.parallel import compile_train_step, shard_batch
+    from conditioned_nerf_gan_tpu.parallel import (
+        compile_aligned,
+        compile_train_step,
+        shard_batch,
+    )
     from conditioned_nerf_gan_tpu.training import create_train_state, make_train_step
 
     gen, enc, disc = build_models()
@@ -78,10 +82,15 @@ def run_one_step(mesh, local_or_global_batch: dict, force_global: bool = False):
 
     init_fn = lambda k, b: create_train_state(k, gen, enc, disc, b, cfg)  # noqa: E731
     repl = NamedSharding(mesh, P())
-    state = jax.jit(init_fn, out_shardings=repl)(key, global_batch())
+    # compile_aligned: leader-first compile + barrier so both processes enter
+    # each executable's first run (= the gloo 30 s rendezvous) together.
+    init_jit = jax.jit(init_fn, out_shardings=repl)
+    state = compile_aligned(init_jit, key, global_batch())(key, global_batch())
 
     sharded = shard_batch(local_or_global_batch, mesh, force_global=force_global)
-    step_fn = compile_train_step(make_train_step(gen, enc, disc, cfg), mesh)
+    step_jit = compile_train_step(make_train_step(gen, enc, disc, cfg), mesh)
+    step_fn = compile_aligned(step_jit, state, sharded, key,
+                              np.float32(0.5), np.float32(0.5))
     state, metrics = step_fn(state, sharded, key,
                              np.float32(0.5), np.float32(0.5))
     jax.block_until_ready(metrics)
