@@ -78,9 +78,11 @@ def measure_tpu() -> float:
     from conditioned_nerf_gan_tpu.models import ImplicitGenerator3d, RenderConfig
 
     # the shipped policy: fast-sin + bf16 compute (fp32 params and sin
-    # epilogues, bf16 matmul operands and stored activations)
+    # epilogues, bf16 matmul operands and stored activations) + the fused
+    # transposed-layout FiLM-SIREN Pallas kernel for the point evals
     gen = ImplicitGenerator3d(siren_type="SHORTSIREN", z_dim=Z_DIM, hidden_dim=HIDDEN,
-                              use_fast_sin=True, compute_dtype=jnp.bfloat16)
+                              use_fast_sin=True, compute_dtype=jnp.bfloat16,
+                              use_pallas=True)
     cfg = RenderConfig(
         img_size=IMG_SIZE, num_steps=NUM_STEPS, fov=49.134342641202636,
         ray_start=0.25, ray_end=1.95, hierarchical_sample=True, white_back=True,

@@ -161,7 +161,10 @@ class Inferencer:
             hidden_dim=gen_meta.get("hidden_dim", 256),
             compute_dtype=compute_dtype,
             use_fast_sin=meta.get("use_fast_sin", False),
-            use_pallas=meta.get("use_pallas", False),
+            # forward-only inference renders default to the fused kernel
+            # (1.31× at the eval protocol); it self-gates on TPU + the
+            # bf16/fast-sin policy, and a curriculum may pin it off
+            use_pallas=meta.get("use_pallas", True),
         )
         ds = meta["dataset"]
         if ds["load_voxel"]:

@@ -216,10 +216,11 @@ class ConditionedSiren(nn.Module):
             and freq is not None
             and freq.ndim == 2
             and self.drop_out == 0
-            # the kernel hardcodes fast_sin + bf16 matmuls (and its custom
-            # VJP differentiates that same policy); only route when the
-            # module is configured to match, so use_pallas can't silently
-            # override the precision/sin config
+            # the kernel is bf16-matmul-only with a degree-7 sin (error
+            # 15× under the bf16 noise floor), and its custom VJP
+            # differentiates the folded bf16+fast_sin formulation; only
+            # route when the module is configured to match, so use_pallas
+            # can't silently override the precision/sin config
             and self.use_fast_sin
             and self.compute_dtype == jnp.bfloat16
         ):

@@ -597,8 +597,14 @@ class Trainer:
         fn = self._render_cache.get(key)
         if fn is None:
             cfg = RenderConfig.from_metadata(meta, perturb=False)
+            # eval renders are forward-only with big per-dispatch point
+            # counts — the regime where the fused FiLM-SIREN kernel wins
+            # 1.31× (train steps are chunk-launch-bound and stay on XLA);
+            # the kernel self-gates on TPU + the bf16/fast-sin policy, so
+            # this is a no-op for fp32 or CPU runs
+            eval_gen = dataclasses.replace(self.generator, use_pallas=True)
             fn = jax.jit(
-                lambda p, zz, cc: self.generator.apply(p, zz, cc, cfg, rng=None)
+                lambda p, zz, cc: eval_gen.apply(p, zz, cc, cfg, rng=None)
             )
             self._render_cache[key] = fn
         return fn(self._local_params("params_G"), z, cam2world)

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--config", type=str, default=None,
                     help="thousand experiment overlay (e.g. dg_shortsiren_dis for the voxel/U-Net family)")
     ap.add_argument("--batch", type=int, default=None, help="override batch_size")
+    ap.add_argument("--pallas", action="store_true",
+                    help="route SIREN point evals through the fused kernel")
     args = ap.parse_args()
 
     from conditioned_nerf_gan_tpu.config import extract_metadata, load_curriculum
@@ -83,6 +85,7 @@ def main():
         hidden_dim=gen_meta.get("hidden_dim", 256),
         compute_dtype=compute_dtype,
         use_fast_sin=meta.get("use_fast_sin", False),
+        use_pallas=args.pallas or meta.get("use_pallas", False),
     )
     load_voxel = meta["dataset"].get("load_voxel", False)
     if load_voxel:
