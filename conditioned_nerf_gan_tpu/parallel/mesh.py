@@ -93,12 +93,35 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sharding)
 
 
-def compile_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
+def compile_train_step(train_step, mesh: Mesh, axis_name: str = "data",
+                       manual: bool = False):
     """jit the train step with batch sharded on `axis_name`, state replicated.
 
-    Gradients reduce over ICI via the psum XLA inserts for the replicated
-    parameter update; the returned state stays replicated.
+    Default (GSPMD): gradients reduce over ICI via the psum XLA inserts for
+    the replicated parameter update; the returned state stays replicated.
+    Numerics are bit-identical to the single-device program.
+
+    manual=True (shard_map): the step runs as one manual SPMD region per
+    device on its local batch shard, with explicit `pmean` collectives
+    inside the step (build it with `make_train_step(..., axis_name=...)`).
+    This is the only composition XLA accepts for Pallas/Mosaic kernels —
+    GSPMD cannot partition a Mosaic custom call ("Please wrap the call in
+    a shard_map") — so any train step that routes the fused FiLM-SIREN
+    kernel on a >1-device mesh must take this path. The per-device batch
+    is `global_batch / mesh_size` (must divide).
     """
+    if manual:
+        sharded = jax.shard_map(
+            train_step,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(), P(), P()),
+            out_specs=(P(), P()),
+            # grads/metrics are pmean'ed inside the step and params enter
+            # replicated, so outputs are replicated by construction; the
+            # static vma check can't see through optax update internals
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(axis_name))
     return jax.jit(

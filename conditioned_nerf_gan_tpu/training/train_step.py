@@ -244,8 +244,22 @@ def make_train_step(
     encoder,
     discriminator,
     config: TrainStepConfig,
+    axis_name: str | None = None,
 ) -> Callable:
-    """Build the per-stage train step. Compile with jit (see parallel.mesh)."""
+    """Build the per-stage train step. Compile with jit (see parallel.mesh).
+
+    axis_name: when set, the step is built for `jax.shard_map` manual
+    parallelism over that mesh axis — each device runs on its local batch
+    shard, gradients/metrics are `pmean`ed across the axis before the
+    optimizer update, and the device's RNG stream is decorrelated by
+    folding `axis_index` into the step key. This is REQUIRED to compose
+    data parallelism with the Pallas FiLM-SIREN kernel: Mosaic kernels
+    cannot be partitioned by GSPMD (XLA raises "wrap the call in a
+    shard_map"), so the GSPMD jit path (axis_name=None) is only valid for
+    the pure-XLA formulation. Per-device noise/camera draws differ from
+    the GSPMD path's global draws (different rng layout, same
+    distribution) — the two paths are distribution-, not bit-,
+    equivalent."""
 
     tx_G, tx_E, tx_D = _make_txs(config)
 
@@ -326,6 +340,9 @@ def make_train_step(
             return loss
 
         d_loss, grads = jax.value_and_grad(d_loss_fn)(state.params_D)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            d_loss = jax.lax.pmean(d_loss, axis_name)
         updates, opt_D = tx_D.update(grads, state.opt_D, state.params_D)
         params_D = optax.apply_updates(state.params_D, updates)
         return state.replace(params_D=params_D, opt_D=opt_D), d_loss
@@ -397,6 +414,9 @@ def make_train_step(
             grads = jax.tree.map(
                 lambda g: g * (scale / config.batch_split), grads
             )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
 
         grads_G, grads_E = grads
         upd_G, opt_G = tx_G.update(grads_G, state.opt_G, state.params_G)
@@ -413,6 +433,10 @@ def make_train_step(
                    alpha, nerf_noise):
         """One full D-then-G iteration (train.py:101-105)."""
         batch = {k: v for k, v in batch.items() if k != "img_path"}
+        if axis_name is not None:
+            # decorrelate per-device sampling (cameras, encoder noise,
+            # stratified ray perturbation) across the data axis
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         k_d, k_g = jax.random.split(jax.random.fold_in(rng, state.step))
         metrics = {}
         if config.enable_discriminator:

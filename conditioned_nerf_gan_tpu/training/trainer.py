@@ -291,9 +291,6 @@ class Trainer:
 
     def _rebuild_step_fn(self) -> None:
         self.step_config = self._current_step_config(self.metadata)
-        step_fn = make_train_step(
-            self.generator, self.encoder, self.discriminator, self.step_config,
-        )
         # the data axis must divide the global batch; single-host runs trim
         # the mesh to the largest usable device count (e.g. batch 4 on an
         # 8-device host). Multi-host meshes cannot be trimmed (every
@@ -314,8 +311,25 @@ class Trainer:
                 n_dev -= 1
             if n_dev != len(devices):
                 self.mesh = make_mesh(devices[:n_dev])
+        # GSPMD cannot partition Mosaic kernels, so a use_pallas generator
+        # on a >1-device mesh needs the manual shard_map step (explicit
+        # pmean, per-device rng streams); pure-XLA steps keep the GSPMD
+        # path, which is bit-identical to single-device execution.
+        manual = self.generator.use_pallas and n_dev > 1
+        if manual and (global_batch // n_dev) % self.step_config.batch_split:
+            raise ValueError(
+                f"manual (shard_map) data parallelism chunks the per-device "
+                f"batch {global_batch // n_dev} by batch_split="
+                f"{self.step_config.batch_split}, which must divide; retune "
+                f"batch_size/batch_split or disable use_pallas"
+            )
+        step_fn = make_train_step(
+            self.generator, self.encoder, self.discriminator, self.step_config,
+            axis_name="data" if manual else None,
+        )
         if n_dev > 1:
-            self._step_fn = compile_train_step(step_fn, self.mesh)
+            self._step_fn = compile_train_step(step_fn, self.mesh,
+                                               manual=manual)
             self.state = replicate(self.state, self.mesh)
         else:
             self._step_fn = jax.jit(step_fn, donate_argnums=(0,))

@@ -339,6 +339,79 @@ def test_ray_sharded_render_matches_single_device():
     np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-5)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+def test_manual_shard_map_step_matches_single_device():
+    """The manual (shard_map) DP step — required whenever the Pallas
+    FiLM-SIREN kernel is routed, since GSPMD cannot partition Mosaic
+    custom calls — reproduces the single-device step on an rng-free
+    config (perturb/density-noise/random-cams/encoder-noise all off, so
+    the per-device key folding is inert and per-shard pmean == the
+    global-batch mean up to reduction order)."""
+    import dataclasses
+
+    from conditioned_nerf_gan_tpu.parallel import (
+        compile_train_step,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+
+    gen, enc, disc, cfg, batch = tiny_setup(B=8)
+    cfg = dataclasses.replace(
+        cfg,
+        # hierarchical off: sample_pdf is stochastic whenever a key is
+        # present (det=not use_noise), which would make the per-device
+        # streams draw genuinely different fine samples
+        render=dataclasses.replace(cfg.render, perturb=False,
+                                   density_noise=False,
+                                   hierarchical_sample=False),
+        random_gen_img=False,
+        noise_weight=0.0,
+    )
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(lambda k, b: create_train_state(k, gen, enc, disc, b, cfg))(
+        key, batch
+    )
+    alpha, noise = jnp.float32(1.0), jnp.float32(0.0)
+
+    step1 = jax.jit(make_train_step(gen, enc, disc, cfg))
+    s_single, _ = step1(state, batch, key, alpha, noise)
+    s_single, m_single = step1(s_single, batch, key, alpha, noise)
+
+    mesh = make_mesh(jax.devices()[:8])
+    step_m = make_train_step(gen, enc, disc, cfg, axis_name="data")
+    stepped = compile_train_step(step_m, mesh, manual=True)
+    sharded = shard_batch(batch, mesh)
+    key_r, alpha_r, noise_r = (replicate(key, mesh), replicate(alpha, mesh),
+                               replicate(noise, mesh))
+    s_multi, _ = stepped(replicate(state, mesh), sharded, key_r, alpha_r, noise_r)
+    s_multi, m_multi = stepped(s_multi, sharded, key_r, alpha_r, noise_r)
+
+    # step-2 losses are evaluated on step-1-updated params, so a missing /
+    # double pmean (grads 8× off) shows up here as O(1) metric divergence
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_multi[k]), rtol=2e-3, atol=1e-4,
+            err_msg=f"metric {k} diverges between GSPMD-1dev and shard_map-8dev",
+        )
+    # Adam with b1=0 gives sign-like updates for near-zero-grad leaves, so
+    # pmean-of-shard-means vs global-mean reduction-order noise can flip an
+    # element by up to 2·lr·steps = 8e-4; a real sharding bug moves many
+    # elements at that scale, so bound the violation FRACTION too.
+    for name in ("params_G", "params_E", "params_D"):
+        a = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree.leaves(getattr(s_single, name))])
+        b = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree.leaves(getattr(s_multi, name))])
+        bad = np.abs(a - b) > 1e-4 + 1e-3 * np.abs(a)
+        assert np.abs(a - b).max() < 1e-3, f"{name} max |Δ|"
+        assert bad.mean() < 0.05, (
+            f"{name}: {bad.mean():.1%} of elements diverge between "
+            f"single-device and manual DP"
+        )
+
+
 @pytest.mark.slow
 def test_bf16_compute_policy_trains():
     """The bf16 AMP policy (metadata "compute_dtype"): params/grads/opt state
