@@ -48,6 +48,7 @@ def capture(stage: int, steps: int, out_dir: str) -> None:
         siren_type=g["siren_type"], z_dim=g["z_dim"],
         hidden_dim=g.get("hidden_dim", 256), compute_dtype=dt,
         use_fast_sin=meta.get("use_fast_sin", False),
+        use_pallas=meta.get("use_pallas", False),
     )
     enc = ResnetPointnet(c_dim=g["z_dim"], dtype=dt)
     disc = make_discriminator(meta["discriminator"], dtype=dt)

@@ -101,3 +101,45 @@ def run_one_step(mesh, local_or_global_batch: dict, force_global: bool = False):
             {"G": state.params_G, "E": state.params_E, "D": state.params_D})
     ])
     return metrics, flat
+
+
+def run_one_step_manual(mesh, local_or_global_batch: dict,
+                        force_global: bool = False) -> dict:
+    """One MANUAL (shard_map) train step over `mesh` — the composition the
+    Pallas FiLM-SIREN kernel requires (GSPMD cannot partition Mosaic
+    custom calls). Validates that the explicit pmean collectives inside
+    shard_map cross the process boundary; returns the step metrics.
+    """
+    import dataclasses
+
+    import jax
+
+    from conditioned_nerf_gan_tpu.parallel import (
+        compile_aligned,
+        compile_train_step,
+        shard_batch,
+    )
+    from conditioned_nerf_gan_tpu.training import create_train_state, make_train_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    gen, enc, disc = build_models()
+    gen = dataclasses.replace(gen, use_pallas=True)  # kernel self-gates off-TPU
+    cfg = build_config()
+    key = np.asarray(jax.random.PRNGKey(SEED))
+
+    init_fn = lambda k, b: create_train_state(k, gen, enc, disc, b, cfg)  # noqa: E731
+    repl = NamedSharding(mesh, P())
+    init_jit = jax.jit(init_fn, out_shardings=repl)
+    state = compile_aligned(init_jit, key, global_batch())(key, global_batch())
+
+    sharded = shard_batch(local_or_global_batch, mesh, force_global=force_global)
+    step_jit = compile_train_step(
+        make_train_step(gen, enc, disc, cfg, axis_name="data"),
+        mesh, manual=True,
+    )
+    step_fn = compile_aligned(step_jit, state, sharded, key,
+                              np.float32(0.5), np.float32(0.5))
+    state, metrics = step_fn(state, sharded, key,
+                             np.float32(0.5), np.float32(0.5))
+    jax.block_until_ready(metrics)
+    return {k: float(v) for k, v in metrics.items()}

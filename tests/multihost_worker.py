@@ -56,8 +56,16 @@ local = {k: v[proc_id * half : (proc_id + 1) * half] for k, v in gbatch.items()}
 metrics, flat = mh.run_one_step(mesh, local)
 
 sync_processes("worker_step_done")  # exercises the barrier path too
+
+# the manual shard_map step (Pallas-kernel composition): its pmean
+# collectives must cross the process boundary and yield finite metrics
+manual_metrics = mh.run_one_step_manual(mesh, local)
+assert all(np.isfinite(v) for v in manual_metrics.values()), manual_metrics
+sync_processes("worker_manual_step_done")
+
 if proc_id == 0:
     np.savez(out_path, flat=flat,
-             **{f"metric_{k}": v for k, v in metrics.items()})
+             **{f"metric_{k}": v for k, v in metrics.items()},
+             **{f"manual_metric_{k}": v for k, v in manual_metrics.items()})
 jax.distributed.shutdown()
 print(f"worker {proc_id} ok", flush=True)

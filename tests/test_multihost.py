@@ -66,6 +66,12 @@ def test_two_process_step_matches_single_process(tmp_path):
         got["flat"], ref_flat, rtol=1e-4, atol=1e-5,
         err_msg="post-step params diverge between 2-process and 1-process",
     )
+    # the manual shard_map step ran cross-process in the workers (finite
+    # metrics asserted there); spot-check its metrics landed in the npz
+    manual_keys = [k for k in got.files if k.startswith("manual_metric_")]
+    assert manual_keys, "manual shard_map step metrics missing from worker npz"
+    for k in manual_keys:
+        assert np.isfinite(float(got[k])), k
 
 
 def test_global_array_assembly_single_process():
