@@ -93,4 +93,10 @@ default = {
     # and relu-chain activations in bf16, params/grads/optimizer fp32, sin
     # epilogues and norm statistics fp32. No GradScaler needed on TPU.
     "compute_dtype": "bfloat16",
+    # fused FiLM-SIREN Pallas kernel (forward + fused VJP): stage-2 train
+    # step 1.155 -> 0.696 s/step, stage-0 0.157 -> 0.106 (BASELINE.md kernel
+    # study). Self-gates on TPU + the bf16/fast-sin policy above, so this is
+    # inert on CPU or under a fp32 override; multi-device meshes switch the
+    # train step to the manual shard_map path (parallel/mesh.py).
+    "use_pallas": True,
 }

@@ -39,7 +39,9 @@ def main():
                     help="thousand experiment overlay (e.g. dg_shortsiren_dis for the voxel/U-Net family)")
     ap.add_argument("--batch", type=int, default=None, help="override batch_size")
     ap.add_argument("--pallas", action="store_true",
-                    help="route SIREN point evals through the fused kernel")
+                    help="force the fused SIREN kernel on (preset default: on)")
+    ap.add_argument("--no_pallas", action="store_true",
+                    help="force the fused SIREN kernel off (XLA A/B baseline)")
     args = ap.parse_args()
 
     from conditioned_nerf_gan_tpu.config import extract_metadata, load_curriculum
@@ -85,7 +87,8 @@ def main():
         hidden_dim=gen_meta.get("hidden_dim", 256),
         compute_dtype=compute_dtype,
         use_fast_sin=meta.get("use_fast_sin", False),
-        use_pallas=args.pallas or meta.get("use_pallas", False),
+        use_pallas=(args.pallas or meta.get("use_pallas", False))
+        and not args.no_pallas,
     )
     load_voxel = meta["dataset"].get("load_voxel", False)
     if load_voxel:

@@ -99,3 +99,15 @@ def test_carla_preset_loads():
     meta = extract_metadata(CARLA, 60000)
     assert meta["img_size"] == 128 and meta["batch_size"] == 10
     assert meta["discriminator"] == "ProgressiveEncoderDiscriminator"
+
+
+def test_thousand_preset_tpu_policy_defaults():
+    """The shipped TPU policy: bf16 compute + fast_sin + the fused Pallas
+    kernel are all on by default (each self-gates off-TPU / under fp32
+    overrides), at every curriculum stage."""
+    cur = load_curriculum(config_base="thousand")
+    for step in (0, 5001, 15001, 25001):
+        meta = extract_metadata(cur, step)
+        assert meta["compute_dtype"] == "bfloat16", step
+        assert meta["use_fast_sin"] is True, step
+        assert meta["use_pallas"] is True, step
