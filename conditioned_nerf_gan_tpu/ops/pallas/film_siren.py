@@ -134,9 +134,10 @@ def _folded_forward_jnp(points, freq, phase, w0, b0, ws, bs, wf, bf,
     policy math of the FiLM-layer stack).
 
     With sin_fn=_sin7 this is the exact math the Pallas kernels compute —
-    the comparator the interpret-mode tests differentiate; the CPU/GPU
-    `film_siren_mlp` backward differentiates the fast_sin default so
-    non-TPU gradients keep the production structure.
+    the comparator the interpret-mode tests differentiate and the oracle
+    `check_kernel_tpu_parity.py` compares the real Mosaic lowering against.
+    (Off-TPU, `film_siren_mlp` falls back to the fp32 reference in both
+    directions; this folded form exists for tests and measurement.)
     """
     L = 1 + ws.shape[0]
     w0f, c0, wsf, cs = _fold_film(freq, phase, w0, b0, ws, bs, matmul_dtype)
