@@ -296,10 +296,19 @@ def make_train_step(
         return out[0] if isinstance(out, tuple) else out
 
     def split_chunks(batch):
-        """Reshape leading axis B → (batch_split, B/split) for lax.scan."""
+        """Reshape leading axis B → (batch_split, B/split) for lax.scan.
+
+        Under manual sharding (axis_name set) B is the PER-DEVICE batch, so
+        batch_split must divide global_batch / n_devices — fail with the
+        real constraint instead of a bare reshape error."""
         k = config.batch_split
 
         def rs(x):
+            if x.shape[0] % k:
+                raise ValueError(
+                    f"batch_split={k} must divide the "
+                    f"{'per-device ' if axis_name else ''}batch {x.shape[0]}"
+                )
             return x.reshape(k, x.shape[0] // k, *x.shape[1:])
 
         return jax.tree.map(rs, batch)
