@@ -151,13 +151,15 @@ def test_backward_kernel_interpret_matches_autodiff():
         return (out * g).sum()
 
     ref = jax.grad(loss, argnums=tuple(range(9)))(*inp.values())
-    got = _backward_pallas(*inp.values(), g, tile=32,
-                           matmul_dtype=jnp.float32, interpret=True)
-    for name, a, b in zip(inp.keys(), got, ref):
-        a, b = np.asarray(a), np.asarray(b)
-        scale = max(1.0, np.abs(b).max())
-        np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=1e-4,
-                                   err_msg=f"grad mismatch for {name}")
+    for tile in (32, None):  # None = the adaptive VMEM-budget tile formula
+        got = _backward_pallas(*inp.values(), g, tile=tile,
+                               matmul_dtype=jnp.float32, interpret=True)
+        for name, a, b in zip(inp.keys(), got, ref):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(1.0, np.abs(b).max())
+            np.testing.assert_allclose(
+                a, b, atol=2e-4 * scale, rtol=1e-4,
+                err_msg=f"grad mismatch for {name} (tile={tile})")
 
 
 def test_sin7_accuracy():
