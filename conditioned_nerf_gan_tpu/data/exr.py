@@ -55,9 +55,18 @@ def _rle_decompress(data: bytes) -> bytes:
         i += 1
         if count > 127:  # signed < 0: literal run
             run = 256 - count
+            if i + run > n:
+                raise ValueError(
+                    f"corrupt RLE chunk: literal run of {run} bytes extends "
+                    f"past the {n}-byte buffer"
+                )
             out += data[i : i + run]
             i += run
         else:
+            if i >= n:
+                raise ValueError(
+                    "corrupt RLE chunk: repeat run missing its value byte"
+                )
             out += data[i : i + 1] * (count + 1)
             i += 1
     return bytes(out)
@@ -131,6 +140,11 @@ def read_exr(path: str | Path) -> dict[str, np.ndarray]:
             chunk = _unpredict_and_interleave(zlib.decompress(chunk))
         elif compression == 1 and nbytes < expected:
             chunk = _unpredict_and_interleave(_rle_decompress(chunk))
+        if len(chunk) != expected:
+            raise ValueError(
+                f"{path}: chunk at scanline {y} decoded to {len(chunk)} "
+                f"bytes, expected {expected} — corrupt or truncated file"
+            )
         cpos = 0
         for line in range(n_lines):
             for cname, ptype in channels:

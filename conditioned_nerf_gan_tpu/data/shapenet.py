@@ -105,9 +105,9 @@ class ShapeNetDataset:
 
         self.data *= multifold
         self.seed = seed
-        self._rng = random.Random(seed)
+        self._epoch_key = (seed + 1) * 1_000_003  # reseed(0) equivalent
         if shuffle:
-            self._rng.shuffle(self.data)
+            random.Random(seed).shuffle(self.data)
 
         self.img_size = img_size
         self.metadata = metadata
@@ -132,19 +132,27 @@ class ShapeNetDataset:
             self.num_points = max(1, int(pcl0.shape[0] * ratio))
 
     def reseed(self, epoch: int) -> None:
-        """Re-key the per-sample rng (pcl subsample, cond-view pick) to a pure
-        function of (seed, epoch). DataLoader calls this at each epoch start,
-        so a sample's content depends only on (epoch, position) — never on
-        how many accesses preceded it — which is what lets a resumed run
-        fast-forward to the checkpointed loader position and replay batches
-        bit-exactly (trainer.py resume continuity)."""
-        self._rng = random.Random((self.seed + 1) * 1_000_003 + epoch)
+        """Key the per-sample rng (pcl subsample, cond-view pick) to (seed,
+        epoch). Each __getitem__ builds its own rng from (epoch_key, index),
+        so a sample's content is a pure function of (seed, epoch, index) —
+        independent of how many accesses preceded it or in what order. That
+        invariant is what lets a resumed run jump the loader straight to the
+        checkpointed position (DataLoader.start_batch) without decoding the
+        skipped batches, and still replay bit-exactly (trainer.py resume
+        continuity)."""
+        self._epoch_key = (self.seed + 1) * 1_000_003 + epoch
+
+    def _item_rng(self, index: int) -> random.Random:
+        # disjoint streams per (epoch, index): the epoch key occupies bits
+        # above any realistic dataset length (multifold ×3000 ≪ 2^40)
+        return random.Random((self._epoch_key << 40) | index)
 
     def __len__(self) -> int:
         return len(self.data)
 
     def __getitem__(self, index: int) -> dict:
         sample: dict = {}
+        rng = self._item_rng(index)
         img_path = self.data[index]
         sample["img_path"] = str(img_path)
         car_dir = img_path.parent.parent
@@ -165,7 +173,7 @@ class ShapeNetDataset:
                     f"world_mat_inv_{int(img_path.stem)}"
                 ].astype(np.float32)
             if self.cond_mode:
-                cond_path = sample_cond(img_path, cameras, self.cond_mode, self._rng)
+                cond_path = sample_cond(img_path, cameras, self.cond_mode, rng)
                 cond_size = (
                     256
                     if self.metadata.get("discriminator")
@@ -213,7 +221,7 @@ class ShapeNetDataset:
 
         if self.load_pcl:
             pcl = np.load(car_dir / "pcl_color.npy").astype(np.float32)
-            idx = self._rng.sample(range(pcl.shape[0]), min(self.num_points, pcl.shape[0]))
+            idx = rng.sample(range(pcl.shape[0]), min(self.num_points, pcl.shape[0]))
             pcl = pcl[idx]
             if pcl.shape[0] < self.num_points:  # pad by repetition (static shape)
                 reps = -(-self.num_points // pcl.shape[0])
@@ -263,6 +271,10 @@ class DataLoader:
         self.prefetch = prefetch
         self.epoch = 0
         self._indices = indices
+        # one-shot resume offset: the next __iter__ starts at this batch
+        # without loading the skipped ones (sample content is a pure
+        # function of (seed, epoch, index) — see ShapeNetDataset.reseed)
+        self.start_batch = 0
 
     def __len__(self) -> int:
         if self._indices is not None:
@@ -287,10 +299,11 @@ class DataLoader:
         n_batches = len(idx) // self.batch_size if self.drop_last else -(
             -len(idx) // self.batch_size
         )
+        start, self.start_batch = self.start_batch, 0
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
 
         def worker():
-            for b in range(n_batches):
+            for b in range(start, n_batches):
                 chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
                 q.put(_collate([self.dataset[i] for i in chunk]))
             q.put(None)

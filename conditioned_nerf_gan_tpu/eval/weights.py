@@ -61,26 +61,34 @@ def warn_random_init(env_var: str, what: str) -> None:
     )
 
 
-def metrics_calibrated() -> bool:
-    """True when both metric nets will load real pretrained weights.
-
-    FID/oFID need CNG_INCEPTION_WEIGHTS; LPIPS needs CNG_LPIPS_WEIGHTS.
-    Anything less means fixed-seed random features: values self-consistent
-    within this framework, NOT comparable to published numbers.
-    """
+def _weights_available(env_var: str) -> bool:
     import os
 
-    return all(
-        os.environ.get(var) and os.path.exists(os.environ[var])
-        for var in ("CNG_INCEPTION_WEIGHTS", "CNG_LPIPS_WEIGHTS")
-    )
+    path = os.environ.get(env_var)
+    return bool(path) and os.path.exists(path)
 
 
-RANDOM_INIT_STAMP = (
-    "# RANDOM-INIT FEATURES: fixed-seed metric nets (CNG_INCEPTION_WEIGHTS/"
-    "CNG_LPIPS_WEIGHTS unset); values are self-consistent within this "
-    "framework only, NOT comparable to published numbers"
-)
+def inception_calibrated() -> bool:
+    """FID/oFID use real ported InceptionV3 weights (CNG_INCEPTION_WEIGHTS)."""
+    return _weights_available("CNG_INCEPTION_WEIGHTS")
+
+
+def lpips_calibrated() -> bool:
+    """LPIPS uses real ported AlexNet weights (CNG_LPIPS_WEIGHTS)."""
+    return _weights_available("CNG_LPIPS_WEIGHTS")
+
+
+def metrics_calibrated() -> bool:
+    """True when every metric net will load real pretrained weights.
+
+    Anything less means fixed-seed random features for the missing net:
+    values self-consistent within this framework, NOT comparable to
+    published numbers.
+    """
+    return inception_calibrated() and lpips_calibrated()
+
+
+RANDOM_INIT_STAMP_PREFIX = "# RANDOM-INIT FEATURES: "
 
 
 def stamp_metric_log(path) -> None:
@@ -88,11 +96,25 @@ def stamp_metric_log(path) -> None:
 
     The r2 verdict's complaint: random-init metric lines are otherwise
     indistinguishable from calibrated ones once the one-time stderr warning
-    scrolls away. The stamp is a comment line the plot parsers skip.
+    scrolls away. The stamp is a comment line the plot parsers skip, and it
+    names exactly which metric columns are uncalibrated — porting only the
+    Inception weights (the common case) keeps the FID/oFID columns
+    publishable while still flagging LPIPS.
     """
     from pathlib import Path
 
     path = Path(path)
-    if metrics_calibrated() or path.exists():
+    if path.exists():
         return
-    path.write_text(RANDOM_INIT_STAMP + "\n")
+    uncalibrated = []
+    if not inception_calibrated():
+        uncalibrated.append("FID/oFID (CNG_INCEPTION_WEIGHTS unset)")
+    if not lpips_calibrated():
+        uncalibrated.append("LPIPS (CNG_LPIPS_WEIGHTS unset)")
+    if not uncalibrated:
+        return
+    path.write_text(
+        RANDOM_INIT_STAMP_PREFIX + "; ".join(uncalibrated)
+        + " — these columns are self-consistent within this framework only,"
+        " NOT comparable to published numbers\n"
+    )

@@ -31,8 +31,9 @@ _FN_CACHE_MAX = 16
 
 def _sharded_render_fn(generator, config, mesh, axis_name, use_noise):
     cache_key = (generator, config, mesh, axis_name, use_noise)
-    fn = _FN_CACHE.get(cache_key)
+    fn = _FN_CACHE.pop(cache_key, None)
     if fn is not None:
+        _FN_CACHE[cache_key] = fn  # refresh: true LRU, hot entries survive
         return fn
     while len(_FN_CACHE) >= _FN_CACHE_MAX:
         _FN_CACHE.pop(next(iter(_FN_CACHE)))

@@ -37,6 +37,13 @@ from .write_pcl_color import build_pcl_color
 
 BLENDER_SCRIPT = Path(__file__).resolve().parent / "blender" / "render_shapenet.py"
 
+# voxel filename per resolution (reference datasets.py:131-157 contract)
+VOXEL_NAMES = {64: "voxel.npz", 32: "voxel_32.npz", 128: "voxel_128.npz"}
+
+
+def voxel_name(res: int) -> str:
+    return VOXEL_NAMES.get(res, f"voxel_{res}.npz")
+
 
 def render_meshes(mesh_dir: Path, root: Path, views: int, resolution: int,
                   blender: str = "blender") -> list[str]:
@@ -86,14 +93,13 @@ def build_pcls(root: Path, views: int, pcl_size: int, img_size: int,
 def build_voxels(root: Path, resolutions: list[int], overwrite: bool,
                  noise_color: float = 0.0, noise_xyz: float = 0.0) -> list[str]:
     """Stage 3: voxel npz grids at each resolution."""
-    names = {64: "voxel.npz", 32: "voxel_32.npz", 128: "voxel_128.npz"}
     rng = np.random.default_rng(0)
     failures = []
     for car in car_dirs(root):
         if not (car / "pcl_color.npy").exists():
             continue
         for res in resolutions:
-            name = names.get(res, f"voxel_{res}.npz")
+            name = voxel_name(res)
             if (car / name).exists() and not overwrite:
                 continue
             try:
@@ -106,9 +112,23 @@ def build_voxels(root: Path, resolutions: list[int], overwrite: bool,
     return failures
 
 
-def write_lists(root: Path, overwrite: bool) -> None:
+def complete_cars(root: Path, resolutions: list[int]) -> list[str]:
+    """Cars that finished every stage: cameras.npz + pcl_color.npy + each
+    requested voxel grid. Cars whose pcl/voxel stage failed must not reach
+    the split lists — a training run with load_pcl/load_voxel would crash
+    on the missing artifact mid-epoch."""
+    out = []
+    for car in car_dirs(root):
+        if not (car / "pcl_color.npy").exists():
+            continue
+        if any(not (car / voxel_name(r)).exists() for r in resolutions):
+            continue
+        out.append(car.name)
+    return out
+
+
+def write_lists(root: Path, cars: list[str], overwrite: bool) -> None:
     """Stage 4: split lists in root's parent (data/shapenet.py contract)."""
-    cars = [p.name for p in car_dirs(root)]
     listing = {
         "thousand": cars,
         "twenty": cars[:20],
@@ -162,10 +182,13 @@ def main(argv=None) -> int:
                            args.overwrite)
     failures += build_voxels(root, args.resolutions, args.overwrite,
                              args.noise_color, args.noise_xyz)
-    write_lists(root, args.overwrite)
+    cars = complete_cars(root, args.resolutions)
+    write_lists(root, cars, args.overwrite)
 
-    n = len(car_dirs(root))
-    print(f"dataset ready: {n} cars at {root}")
+    n_rendered = len(car_dirs(root))
+    print(f"dataset ready: {len(cars)} complete cars at {root}"
+          + (f" ({n_rendered - len(cars)} incomplete, excluded from lists)"
+             if n_rendered != len(cars) else ""))
     if failures:
         print("failures:", failures)
     return 1 if failures else 0

@@ -437,10 +437,12 @@ class Trainer:
     def train(self) -> None:
         self.write_train_settings()
         dataloader = self._make_dataloader()
-        # resume: put the loader back at the checkpointed epoch and fast-
-        # forward the batches the interrupted run already consumed (the
-        # reference restores only the step counter, utils.py:318-319 — its
-        # resumed batch sequence silently diverges; here it replays exactly)
+        # resume: put the loader back at the checkpointed epoch and batch
+        # offset (the reference restores only the step counter,
+        # utils.py:318-319 — its resumed batch sequence silently diverges;
+        # here it replays exactly). The jump is free: sample content is a
+        # pure function of (seed, epoch, index), so skipped batches are
+        # never decoded.
         pending_skip = 0
         if self._restored_loader_state:
             dataloader.epoch = int(self._restored_loader_state["epoch"])
@@ -463,10 +465,9 @@ class Trainer:
             # epoch about to be consumed (DataLoader.__iter__ bumps .epoch)
             self._loader_epoch = dataloader.epoch
             self._batch_offset = pending_skip
+            dataloader.start_batch = pending_skip
+            pending_skip = 0
             for batch in dataloader:
-                if pending_skip > 0:
-                    pending_skip -= 1
-                    continue
                 if self.update_metadata():
                     if self._data_changed:
                         print(f"Metadata updated at step {self.step}. "
@@ -579,10 +580,15 @@ class Trainer:
         data shards (fid_evaluation.output_images), so they must not close
         over global arrays — each process pulls a host copy and runs on its
         own devices (the DDP analogue: each rank renders its shard on its own
-        GPU, reference fid_evaluation.py:103-151).
+        GPU, reference fid_evaluation.py:103-151). The same applies on a
+        single-process >1-device mesh: the replicated params are committed
+        to the whole mesh, and feeding them to the plain-jit eval render
+        would produce a multi-device GSPMD program — which cannot contain
+        the Mosaic (use_pallas) kernel. Pulling a host copy pins the eval
+        program to one device either way.
         """
         params = getattr(self.state, name)
-        if self.process_count > 1:
+        if self.process_count > 1 or self.mesh.size > 1:
             params = jax.device_get(params)
         return params
 
@@ -615,8 +621,12 @@ class Trainer:
             # counts — the regime where the fused FiLM-SIREN kernel wins
             # 1.31× (train steps are chunk-launch-bound and stay on XLA);
             # the kernel self-gates on TPU + the bf16/fast-sin policy, so
-            # this is a no-op for fp32 or CPU runs
-            eval_gen = dataclasses.replace(self.generator, use_pallas=True)
+            # this is a no-op for fp32 or CPU runs. An explicit
+            # `use_pallas: False` in the curriculum is respected.
+            eval_gen = dataclasses.replace(
+                self.generator,
+                use_pallas=self.metadata.get("use_pallas", True),
+            )
             fn = jax.jit(
                 lambda p, zz, cc: eval_gen.apply(p, zz, cc, cfg, rng=None)
             )

@@ -33,9 +33,9 @@ jax.config.update("jax_platforms", "cpu")
 # (the backend default uses bf16 passes even on CPU).
 jax.config.update("jax_default_matmul_precision", "highest")
 # XLA compiles are very slow in this environment; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", str(REPO_ROOT / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from conditioned_nerf_gan_tpu.utils import setup_compile_cache  # noqa: E402
+
+setup_compile_cache(REPO_ROOT / ".jax_cache")
 
 def pytest_configure(config):
     config.addinivalue_line(

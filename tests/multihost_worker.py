@@ -25,9 +25,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir", str(REPO_ROOT / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from conditioned_nerf_gan_tpu.utils import setup_compile_cache  # noqa: E402
+
+setup_compile_cache(REPO_ROOT / ".jax_cache")
 
 from conditioned_nerf_gan_tpu.parallel import (  # noqa: E402
     initialize_distributed,

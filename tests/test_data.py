@@ -189,3 +189,82 @@ def test_exr_rle_roundtrip(tmp_path):
     parsed = read_exr(path)
     np.testing.assert_allclose(
         parsed["R"], data.astype(np.float16).astype(np.float32), rtol=1e-3)
+
+
+def test_exr_rle_corrupt_raises(tmp_path):
+    """Truncated/corrupt RLE chunks raise instead of decoding to garbage
+    (r3 review: a literal run extending past the buffer silently yielded a
+    short chunk and misaligned every following half-float)."""
+    import pytest
+
+    from conditioned_nerf_gan_tpu.data.exr import _rle_decompress
+
+    # literal run of 5 bytes but only 2 remain
+    with pytest.raises(ValueError, match="literal run"):
+        _rle_decompress(bytes([256 - 5, 1, 2]))
+    # repeat run missing its value byte
+    with pytest.raises(ValueError, match="value byte"):
+        _rle_decompress(bytes([3]))
+
+    # end-to-end: truncate a valid RLE file's last chunk body
+    h, w = 8, 16
+    data = np.full((h, w), 65504.0, np.float32)
+    data[2:6, 4:12] = np.linspace(0.5, 1.5, 32).reshape(4, 8)
+    path = tmp_path / "depth_rle.exr"
+    _write_exr(path, data, compression=1)
+    raw = bytearray(path.read_bytes())
+    bad = tmp_path / "trunc.exr"
+    bad.write_bytes(bytes(raw[:-4]))  # cut into the final chunk
+    with pytest.raises(ValueError):
+        read_exr(bad)
+
+
+def test_sample_content_is_pure_in_epoch_and_index(dataset_root):
+    """A sample's rng-dependent content (pcl subsample, cond pick) is a pure
+    function of (seed, epoch, index) — not of access order/count. This is
+    the invariant that lets a resumed run jump the loader to the
+    checkpointed position without decoding the skipped batches."""
+    ds = ShapeNetDataset(dataset_root, 32, "twenty", META, False, True,
+                         load_depth=False, cond_mode="random", shuffle=False)
+    ds.reseed(3)
+    a = ds[2]
+    # interleave other accesses and re-read: identical content
+    _ = ds[0], ds[1], ds[2], ds[1]
+    b = ds[2]
+    np.testing.assert_array_equal(a["pcl"], b["pcl"])
+    np.testing.assert_array_equal(a["cond"], b["cond"])
+    # different epoch -> different subsample stream
+    ds.reseed(4)
+    c = ds[2]
+    assert not np.array_equal(a["pcl"], c["pcl"])
+
+
+def test_dataloader_start_batch_skips_without_decoding(dataset_root):
+    """DataLoader.start_batch=k yields exactly the full epoch's batches[k:],
+    and never calls __getitem__ for the skipped ones."""
+    ds = ShapeNetDataset(dataset_root, 32, "twenty", META, False, True,
+                         load_depth=False, shuffle=False)
+    full = DataLoader(ds, batch_size=2, shuffle=True, seed=11)
+    batches = list(full)
+    assert len(batches) >= 3
+
+    ds2 = ShapeNetDataset(dataset_root, 32, "twenty", META, False, True,
+                          load_depth=False, shuffle=False)
+    loads = []
+    orig = type(ds2).__getitem__
+
+    class Counting(ShapeNetDataset):
+        def __getitem__(self, index):
+            loads.append(index)
+            return orig(self, index)
+
+    ds2.__class__ = Counting
+    skip = DataLoader(ds2, batch_size=2, shuffle=True, seed=11)
+    skip.start_batch = 2
+    resumed = list(skip)
+    assert len(resumed) == len(batches) - 2
+    assert len(loads) == 2 * len(resumed)  # skipped batches never decoded
+    for got, want in zip(resumed, batches[2:]):
+        np.testing.assert_array_equal(got["img"], want["img"])
+        np.testing.assert_array_equal(got["pcl"], want["pcl"])
+        assert got["img_path"] == want["img_path"]

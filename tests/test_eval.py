@@ -108,3 +108,36 @@ def test_compute_metrics_from_dirs(image_dirs):
     assert np.isfinite([fid, ofid, lpips_score, psnr]).all()
     assert fid > 0 and ofid > 0 and lpips_score > 0
     assert 20 < psnr < 35  # 0.05-sigma noise ≈ 26 dB
+
+
+def test_stamp_metric_log_names_uncalibrated_nets(tmp_path, monkeypatch):
+    """The fid.txt stamp names exactly which metric columns are random-init:
+    porting only the Inception weights keeps FID/oFID publishable while
+    still flagging LPIPS (r3 review: the all-or-nothing stamp discarded
+    valid FID numbers)."""
+    from conditioned_nerf_gan_tpu.eval.weights import stamp_metric_log
+
+    # neither ported: both named
+    monkeypatch.delenv("CNG_INCEPTION_WEIGHTS", raising=False)
+    monkeypatch.delenv("CNG_LPIPS_WEIGHTS", raising=False)
+    p = tmp_path / "fid_none.txt"
+    stamp_metric_log(p)
+    text = p.read_text()
+    assert "FID/oFID" in text and "LPIPS" in text
+
+    # only Inception ported: stamp flags LPIPS alone
+    fake = tmp_path / "inception.npz"
+    fake.write_bytes(b"x")
+    monkeypatch.setenv("CNG_INCEPTION_WEIGHTS", str(fake))
+    p2 = tmp_path / "fid_partial.txt"
+    stamp_metric_log(p2)
+    text2 = p2.read_text()
+    assert "LPIPS" in text2 and "FID/oFID" not in text2
+
+    # both ported: no stamp at all
+    fake2 = tmp_path / "lpips.npz"
+    fake2.write_bytes(b"x")
+    monkeypatch.setenv("CNG_LPIPS_WEIGHTS", str(fake2))
+    p3 = tmp_path / "fid_cal.txt"
+    stamp_metric_log(p3)
+    assert not p3.exists()

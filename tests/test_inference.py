@@ -71,25 +71,35 @@ def smoke_ckpt(tmp_path_factory):
         root / "data", n_cars=3, n_views=4, img_size=32, n_points=512,
         voxel_resolutions=(32,),
     )
+    # module-scoped fixture can't use the function-scoped monkeypatch —
+    # restore by hand so the path doesn't leak into later test modules
+    prev = os.environ.get("CNG_DATASET_PATH")
     os.environ["CNG_DATASET_PATH"] = str(ds_root)
-    import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
+    try:
+        import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
 
-    importlib.reload(smoke)
-    from conditioned_nerf_gan_tpu.training import Trainer
+        importlib.reload(smoke)
+        from conditioned_nerf_gan_tpu.training import Trainer
 
-    out = root / "run"
-    args = types.SimpleNamespace(
-        output_dir=str(out), load_dir="", load_curriculum="",
-        sampling_interval=1000, print_freq=1000, eval_freq=1000,
-        n_epochs=100, stop_step=2, config=None, config_base="smoke", seed=0,
-    )
-    trainer = Trainer(args)
-    trainer.load_models()
-    trainer.train()
-    ckpts = sorted((out / "checkpoints").glob("*.ckpt"),
-                   key=lambda p: int(p.stem))
-    assert ckpts
-    return ckpts[-1], ds_root
+        out = root / "run"
+        args = types.SimpleNamespace(
+            output_dir=str(out), load_dir="", load_curriculum="",
+            sampling_interval=1000, print_freq=1000, eval_freq=1000,
+            n_epochs=100, stop_step=2, config=None, config_base="smoke",
+            seed=0,
+        )
+        trainer = Trainer(args)
+        trainer.load_models()
+        trainer.train()
+        ckpts = sorted((out / "checkpoints").glob("*.ckpt"),
+                       key=lambda p: int(p.stem))
+        assert ckpts
+        yield ckpts[-1], ds_root
+    finally:
+        if prev is None:
+            os.environ.pop("CNG_DATASET_PATH", None)
+        else:
+            os.environ["CNG_DATASET_PATH"] = prev
 
 
 @pytest.mark.slow

@@ -216,3 +216,33 @@ def test_prepare_data_orchestrator(tmp_path):
                "--pcl_size", "512", "--pcl_img_size", "32",
                "--resolutions", "32"])
     assert rc == 0
+
+
+def test_prepare_data_excludes_failed_cars(tmp_path):
+    """A car whose pcl/voxel stage fails must not reach the split lists —
+    training with load_pcl/load_voxel would crash on the missing artifact
+    (r3 review finding)."""
+    from conditioned_nerf_gan_tpu.tools.prepare_data import main
+
+    root = make_synthetic_shapenet(
+        tmp_path, n_cars=3, n_views=3, img_size=32, n_points=1024,
+        voxel_resolutions=(32,),
+    )
+    for lst in root.parent.glob("*.lst"):
+        lst.unlink()
+    cars = sorted(p for p in root.iterdir() if p.is_dir())
+    for car in cars:
+        for derived in ("pcl_color.npy", "voxel.npz", "voxel_32.npz"):
+            (car / derived).unlink(missing_ok=True)
+    # corrupt one car's depth so its pcl backprojection fails
+    bad = cars[1]
+    for npy in (bad / "depth").glob("*.npy"):
+        npy.write_bytes(b"not a numpy file")
+
+    rc = main([str(root), "--skip_render", "--views", "3",
+               "--pcl_size", "512", "--pcl_img_size", "32",
+               "--resolutions", "32"])
+    assert rc == 1  # failure reported
+    listed = (root.parent / "twenty.lst").read_text().split()
+    assert bad.name not in listed
+    assert len(listed) == 2

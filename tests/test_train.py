@@ -247,9 +247,20 @@ def test_multichip_dryrun():
 def test_ensure_devices_bootstrap():
     """Driver scenario: no XLA_FLAGS, platform env hijacked, backend already
     initialized with 1 device — _ensure_devices must still yield 8 devices."""
+    import socket
     import subprocess
     import sys
     from pathlib import Path
+
+    # the hijacked platform (sitecustomize forces JAX_PLATFORMS=axon)
+    # initializes through the remote TPU tunnel; when the tunnel is down
+    # the subprocess hangs on backend init — infra outage, not a repo bug
+    s = socket.socket()
+    s.settimeout(2)
+    tunnel_up = s.connect_ex(("127.0.0.1", 8083)) == 0
+    s.close()
+    if not tunnel_up:
+        pytest.skip("remote TPU tunnel down — hijacked-platform init would hang")
 
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     code = (

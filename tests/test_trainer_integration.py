@@ -256,3 +256,67 @@ def test_resume_continuity_across_stage_boundary(train_env, monkeypatch):
         )
     # the schedule state also re-derived across the boundary
     assert t_b.step_config.render.img_size == stage1["img_size"]
+
+
+def test_eval_render_is_single_device_on_mesh(train_env, monkeypatch):
+    """On a >1-device mesh the eval-time renders (generate_img/encode_batch)
+    must run as single-device programs over host param copies — feeding the
+    mesh-replicated params into the plain jit would produce a multi-device
+    GSPMD program, which cannot contain the Mosaic use_pallas kernel
+    (r3 review finding: single-process multi-chip died at first eval)."""
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+    import importlib
+
+    import jax
+
+    import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
+
+    importlib.reload(smoke)
+    from conditioned_nerf_gan_tpu.training import Trainer
+
+    out = root / "run_mesh_eval"
+    trainer = Trainer(_args(out, stop_step=1, sampling_interval=1000))
+    trainer.load_models()
+    assert trainer.mesh.size > 1, "conftest's 8-device CPU mesh expected"
+
+    # replicated training state spans the mesh...
+    leaf = jax.tree_util.tree_leaves(trainer.state.params_G)[0]
+    assert len(leaf.sharding.device_set) == trainer.mesh.size
+    # ...but the eval-render copy is host-local (numpy), so the jitted
+    # render compiles for exactly one device
+    local = trainer._local_params("params_G")
+    for l in jax.tree_util.tree_leaves(local):
+        assert isinstance(l, np.ndarray), type(l)
+
+    batch = next(iter(trainer._make_dataloader()))
+    batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    z = trainer.encode_batch(batch)
+    rgb, depth = trainer.generate_img(z, batch["cam2world"], img_size=16,
+                                      num_steps=6)
+    assert np.asarray(rgb).shape[0] == batch["cam2world"].shape[0]
+    assert len(rgb.sharding.device_set) == 1
+
+
+def test_eval_render_respects_explicit_use_pallas_false(train_env, monkeypatch):
+    """An explicit `use_pallas: False` curriculum setting must not be
+    silently overridden by the eval-render fast path."""
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+    import importlib
+
+    import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
+
+    importlib.reload(smoke)
+    from conditioned_nerf_gan_tpu.training import Trainer
+
+    out = root / "run_no_pallas_eval"
+    trainer = Trainer(_args(out, stop_step=1))
+    trainer.metadata["use_pallas"] = False
+    trainer.load_models()
+    z = np.zeros((2, trainer.metadata["generator"]["z_dim"]), np.float32)
+    cams = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    trainer.generate_img(z, cams, img_size=8, num_steps=4)
+    key = ("render", 8, 4)
+    fn = trainer._render_cache[key]
+    assert fn is not None
