@@ -149,3 +149,28 @@ def test_inferencer_batched_paths(smoke_ckpt):
                                        interpolate_n=4)
     assert out.exists()
     assert len(dispatches) == 1
+
+
+@pytest.mark.slow
+def test_inferencer_compute_metrics(smoke_ckpt, tmp_path, monkeypatch):
+    """The --metrics CLI surface end-to-end: real-image cache, Inferencer
+    shard render, FID/oFID/LPIPS/PSNR, and a stamped fid_inference.txt
+    (random-init nets in this environment)."""
+    import numpy as np
+
+    from conditioned_nerf_gan_tpu.infer.inference import Inferencer
+
+    ckpt, ds_root = smoke_ckpt
+    monkeypatch.setenv("CNG_EVAL_IMAGES", str(tmp_path / "EvalImages"))
+    monkeypatch.delenv("CNG_INCEPTION_WEIGHTS", raising=False)
+    monkeypatch.delenv("CNG_LPIPS_WEIGHTS", raising=False)
+
+    inf = Inferencer(ckpt, num_imgs=3, image_size=16, seed=0)
+    fid, ofid, lpips_score, psnr = inf.compute_metrics()
+    assert np.isfinite(fid) and np.isfinite(psnr)
+
+    txt = (inf.run_dir / "fid_inference.txt").read_text()
+    assert txt.startswith("# RANDOM-INIT FEATURES")
+    lines = [l for l in txt.splitlines() if l and not l.startswith("#")]
+    assert len(lines) == 1
+    assert len(lines[0].split()) == 7  # step voxres nsteps fid ofid lpips psnr
