@@ -21,6 +21,7 @@ epoch/step loop):
 
 from __future__ import annotations
 
+import collections
 import copy
 import dataclasses
 import random
@@ -89,6 +90,11 @@ class Trainer:
         self._mkdirs()
         self.histories = {k: [] for k in HISTORY_KEYS}
         self._render_cache: dict = {}
+        # device-side metrics awaiting materialization: float() is the
+        # device sync, and syncing every step serializes dispatch → compute
+        # → transfer; the train loop queues metrics and keeps a small
+        # in-flight window so the device pipeline stays busy back-to-back
+        self._pending_metrics: collections.deque = collections.deque()
         self.step = 0
         self.epoch = 0
         # dataloader position (epoch being consumed + batches consumed in
@@ -394,6 +400,7 @@ class Trainer:
     def print_stats(self, steps_elapsed_time: float):
         if not (self.is_main and (self.step + 1) % self.args.print_freq == 0):
             return None
+        self._flush_metrics()  # histories current through this step
         from tabulate import tabulate
 
         header = ["Time", "Epoch", "Step", "Sec per step", "Alpha",
@@ -503,9 +510,15 @@ class Trainer:
                     self.state, batch_dev, rng,
                     np.float32(self.alpha), np.float32(self.nerf_noise),
                 )
-                metrics = {k: float(v) for k, v in metrics.items()}
-                self._record(metrics)
+                # don't sync here: queue the device metrics and let the next
+                # batch's host load + transfer overlap this step's compute
+                self._pending_metrics.append((self.step, metrics))
+                self._flush_metrics(keep=self._MAX_IN_FLIGHT)
                 self._batch_offset += 1
+                if self.is_main and (self.step + 1) % self.args.print_freq == 0:
+                    # drain inside the timed region so "Sec per step" counts
+                    # the device sync, not just the async dispatch
+                    self._flush_metrics()
                 steps_elapsed += time.time() - t0
 
                 if self.print_stats(steps_elapsed) is not None:
@@ -528,6 +541,7 @@ class Trainer:
     def _final_checkpoint(self) -> None:
         """Always leave a checkpoint at loop exit (the eval_freq-gated save
         can otherwise lose an entire sub-eval_freq run)."""
+        self._flush_metrics()
         if self.is_main and not (
             self.checkpoints_path / f"{self.step - 1}.ckpt"
         ).exists():
@@ -543,11 +557,26 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
-    def _record(self, metrics: dict) -> None:
+    # steps allowed in flight before the oldest metrics are forced to
+    # materialize (each in-flight step pins its device batch; 4 bounds that
+    # to a few tens of MB while keeping the dispatch pipeline full)
+    _MAX_IN_FLIGHT = 4
+
+    def _flush_metrics(self, keep: int = 0) -> None:
+        """Materialize queued device metrics into histories, oldest first.
+
+        keep > 0 leaves that many steps in flight (the float() of an entry
+        blocks until its step has executed on the device)."""
+        while len(self._pending_metrics) > keep:
+            step_i, m = self._pending_metrics.popleft()
+            self._record({k: float(v) for k, v in m.items()}, step=step_i)
+
+    def _record(self, metrics: dict, step: int | None = None) -> None:
+        step = self.step if step is None else step
         # z_reg progress print every 100 steps (reference utils.py:696-698)
         if (
             self.is_main and "z_reg" in metrics
-            and self.metadata["dataset"]["load_pcl"] and self.step % 100 == 0
+            and self.metadata["dataset"]["load_pcl"] and step % 100 == 0
         ):
             print("z_reg: ", metrics["z_reg"], flush=True)
         if "d_loss" in metrics:
@@ -639,6 +668,7 @@ class Trainer:
             self.is_main and (self.step + 1) % self.args.sampling_interval == 0
         ):
             return
+        self._flush_metrics()  # keep history ordering: train losses first
         for dataset, path, label in (
             (self.trainset, self.samples_train_path, "train"),
             (self.valset, self.samples_val_path, "val"),
@@ -735,6 +765,7 @@ class Trainer:
 
     def save_models(self) -> None:
         if self.is_main and (self.step + 1) % self.args.eval_freq == 0:
+            self._flush_metrics()  # checkpoints persist the histories
             print(f"Saving checkpoint at step {self.step}")
             save_checkpoint(
                 self.checkpoints_path, self.step, self.state,
@@ -745,6 +776,7 @@ class Trainer:
         """FID / oFID / LPIPS / PSNR eval every eval_freq (utils.py:974-1016)."""
         if (self.step + 1) % self.args.eval_freq != 0:
             return
+        self._flush_metrics()
         try:
             from ..eval import evaluate_trainer
         except ImportError:
