@@ -116,6 +116,14 @@ class ShapeNetDataset:
             from . import native
 
             self._use_native = native.available()
+            if not self._use_native:
+                import warnings
+
+                warnings.warn(
+                    "CNG_NATIVE_LOADER=1 but the fastload library is "
+                    "unavailable (no toolchain?) — falling back to the "
+                    "cv2 per-sample decode path"
+                )
         self.load_img = load_img
         self.load_depth = load_depth
         self.load_voxel = load_voxel
@@ -151,6 +159,21 @@ class ShapeNetDataset:
         return len(self.data)
 
     def __getitem__(self, index: int) -> dict:
+        return self._item(index)
+
+    @property
+    def _cond_size(self) -> int:
+        return (
+            256
+            if self.metadata.get("discriminator")
+            == "ProgressiveDiscriminator_projection"
+            else self.img_size
+        )
+
+    def _item(self, index: int, defer: dict | None = None) -> dict:
+        """One sample dict. With `defer`, the decode-heavy fields (img, cond,
+        EXR depth) are not decoded here; their paths are appended to the
+        defer lists for a single batched native call (see get_batch)."""
         sample: dict = {}
         rng = self._item_rng(index)
         img_path = self.data[index]
@@ -158,7 +181,9 @@ class ShapeNetDataset:
         car_dir = img_path.parent.parent
 
         if self.load_img:
-            if self._use_native:
+            if defer is not None:
+                defer["img"].append(str(img_path))
+            elif self._use_native:
                 from . import native
 
                 sample["img"] = native.read_png16(img_path, self.img_size)
@@ -174,19 +199,20 @@ class ShapeNetDataset:
                 ].astype(np.float32)
             if self.cond_mode:
                 cond_path = sample_cond(img_path, cameras, self.cond_mode, rng)
-                cond_size = (
-                    256
-                    if self.metadata.get("discriminator")
-                    == "ProgressiveDiscriminator_projection"
-                    else self.img_size
-                )
-                cond = _read_resize_png16(cond_path, cond_size)
-                sample["cond"] = ((cond - 0.5) / 0.5).astype(np.float32)
+                if defer is not None:
+                    defer["cond"].append(str(cond_path))
+                else:
+                    cond = _read_resize_png16(cond_path, self._cond_size)
+                    sample["cond"] = ((cond - 0.5) / 0.5).astype(np.float32)
 
         if self.load_depth:
             depth_path = car_dir / "depth" / (img_path.stem + "0001.exr")
             if depth_path.exists():
-                if self._use_native:
+                if defer is not None:
+                    defer["depth"].append(str(depth_path))
+                    defer["depth_pos"].append(defer["pos"])
+                    depth = None
+                elif self._use_native:
                     from .native import read_exr_depth_native
 
                     depth = read_exr_depth_native(depth_path, self.img_size)
@@ -205,7 +231,8 @@ class ShapeNetDataset:
                     depth = cv2.resize(
                         depth, (self.img_size, self.img_size), interpolation=mode
                     )
-            sample["depth"] = depth.astype(np.float32)
+            if depth is not None:
+                sample["depth"] = depth.astype(np.float32)
 
         if self.load_voxel:
             name = {64: "voxel.npz", 32: "voxel_32.npz", 128: "voxel_128.npz"}.get(
@@ -228,6 +255,35 @@ class ShapeNetDataset:
                 pcl = np.tile(pcl, (reps, 1))[: self.num_points]
             sample["pcl"] = pcl
         return sample
+
+    def get_batch(self, indices: list[int]) -> dict:
+        """Collated batch. With the native loader active, every PNG / EXR in
+        the batch decodes through one C++ thread-pool call per field
+        (native/fastload.cc) instead of len(indices) Python round-trips —
+        the TPU replacement for the reference's 8 DataLoader worker
+        processes (datasets.py:257-302, num_workers in special.py:31)."""
+        if not self._use_native or len(indices) < 2:
+            return _collate([self[i] for i in indices])
+        from . import native
+
+        defer: dict = {"img": [], "cond": [], "depth": [], "depth_pos": []}
+        samples = []
+        for k, i in enumerate(indices):
+            defer["pos"] = k
+            samples.append(self._item(i, defer))
+        if defer["img"]:
+            imgs = native.read_png16_batch(defer["img"], self.img_size)
+            for s, im in zip(samples, imgs):
+                s["img"] = im
+        if defer["cond"]:
+            conds = native.read_png16_batch(defer["cond"], self._cond_size)
+            for s, c in zip(samples, conds):
+                s["cond"] = c
+        if defer["depth"]:
+            depths = native.read_exr_depth_batch(defer["depth"], self.img_size)
+            for pos, d in zip(defer["depth_pos"], depths):
+                samples[pos]["depth"] = d
+        return _collate(samples)
 
 
 def _collate(samples: list[dict]) -> dict:
@@ -302,10 +358,15 @@ class DataLoader:
         start, self.start_batch = self.start_batch, 0
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
 
+        get_batch = getattr(self.dataset, "get_batch", None)
+
         def worker():
             for b in range(start, n_batches):
                 chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                q.put(_collate([self.dataset[i] for i in chunk]))
+                if get_batch is not None:
+                    q.put(get_batch(chunk))
+                else:
+                    q.put(_collate([self.dataset[i] for i in chunk]))
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)

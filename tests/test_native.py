@@ -173,3 +173,42 @@ def test_exr_depth_batch_threadpool(tmp_path):
         refs.append(native.read_exr_depth_native(p, 16))
     batch = native.read_exr_depth_batch(paths, 16, n_threads=3)
     np.testing.assert_allclose(batch, np.stack(refs), atol=0)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_get_batch_matches_itemwise(tmp_path, monkeypatch):
+    """DataLoader batches route decode through one C++ thread-pool call per
+    field (ShapeNetDataset.get_batch); result must match the per-item path,
+    including a batch mixing EXR depths (deferred) with .npy fixture depths
+    (decoded inline)."""
+    from test_data import _write_exr
+
+    from conditioned_nerf_gan_tpu.data import ShapeNetDataset, make_synthetic_shapenet
+    from conditioned_nerf_gan_tpu.data.shapenet import _collate
+
+    root = make_synthetic_shapenet(tmp_path, n_cars=2, n_views=4, img_size=32,
+                                   n_points=128, voxel_resolutions=(32,))
+    # give car0 real EXR depths so the batch mixes deferred + inline depth
+    rng = np.random.default_rng(3)
+    car0_depth = root / "car0000" / "depth"
+    for i in range(4):
+        d = rng.uniform(0.3, 1.9, (32, 32)).astype(np.float32)
+        _write_exr(car0_depth / f"{i:04}0001.exr", d, compression=1)
+
+    meta = {"num_points_ratio": 1.0, "dataset": {}}
+    monkeypatch.setenv("CNG_NATIVE_LOADER", "1")
+    ds = ShapeNetDataset(root, 32, "twenty", meta, True, True,
+                         load_depth=True, cond_mode="nearest", shuffle=False,
+                         voxel_resolution=32)
+    assert ds._use_native
+    indices = list(range(6))  # spans both cars
+    batched = ds.get_batch(indices)
+    itemwise = _collate([ds[i] for i in indices])
+    assert set(batched) == set(itemwise)
+    for key in itemwise:
+        if key == "img_path":
+            assert batched[key] == itemwise[key]
+        else:
+            np.testing.assert_allclose(
+                batched[key], itemwise[key], atol=1e-6, err_msg=key
+            )

@@ -50,6 +50,12 @@ def parse_args(argv=None):
                         help="force a JAX platform (default: environment)")
     parser.add_argument("--smoke", action="store_true",
                         help="generate a tiny synthetic dataset and train on it")
+    parser.add_argument("--native_loader", action="store_true",
+                        help="decode PNGs/EXRs through the C++ thread-pool "
+                             "loader (native/fastload.cc), one batched call "
+                             "per field instead of per-sample Python decodes; "
+                             "the TPU replacement for the reference's 8 "
+                             "DataLoader workers (env: CNG_NATIVE_LOADER=1)")
     # multi-host execution (replaces the reference's mp.spawn + gloo
     # rendezvous, train.py:36-44,231-246): launch this CLI once per host.
     parser.add_argument("--distributed", action="store_true",
@@ -69,6 +75,9 @@ def main(argv=None):
     args = parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
     os.makedirs(os.path.join(args.output_dir, "logs"), exist_ok=True)
+
+    if args.native_loader:
+        os.environ["CNG_NATIVE_LOADER"] = "1"
 
     import jax
 
