@@ -9,6 +9,7 @@ voxels, metrics, and latent interpolation from a training checkpoint.
 from __future__ import annotations
 
 import argparse
+import os
 import random
 
 import numpy as np
@@ -47,12 +48,18 @@ def parse_args(argv=None):
     parser.add_argument("--seeds", nargs="+", default=[0])
     parser.add_argument("--platform", type=str, default=None,
                         choices=[None, "cpu", "tpu"])
+    parser.add_argument("--native_loader", action="store_true",
+                        help="decode dataset PNGs/EXRs through the C++ "
+                             "thread-pool loader (env: CNG_NATIVE_LOADER=1)")
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     opt = parse_args(argv)
     print(opt)
+
+    if opt.native_loader:
+        os.environ["CNG_NATIVE_LOADER"] = "1"
 
     import jax
 
