@@ -24,7 +24,8 @@ def parse_args(argv=None):
     parser.add_argument("--ray_step_multiplier", type=int, default=1)
     parser.add_argument("--z_up", action="store_true")
     parser.add_argument("--colored_pcl", action="store_true",
-                        help="kept for reference CLI parity (encoder input dim)")
+                        help="kept for reference CLI parity; inert there too "
+                             "(inference.py:122 stores it, nothing reads it)")
     parser.add_argument("--images", action="store_true")
     parser.add_argument("--num_imgs", type=int, default=8)
     parser.add_argument("--cam_fixed", action="store_true")
