@@ -61,10 +61,14 @@ def setup_evaluation(metadata: dict) -> str:
             shuffle=False,
         )
         print("Outputting real images...")
-        for i in range(len(dataset)):
-            sample = dataset[i]
-            img01 = sample["img"] * 0.5 + 0.5
-            _save_png(img01, real_dir / _img_name(sample["img_path"]))
+        # chunked through get_batch: with the native loader active each
+        # chunk's PNGs decode in one C++ thread-pool call
+        chunk = 32
+        for start in range(0, len(dataset), chunk):
+            batch = dataset.get_batch(list(range(start, min(start + chunk,
+                                                            len(dataset)))))
+            for img, path in zip(batch["img"], batch["img_path"]):
+                _save_png(img * 0.5 + 0.5, real_dir / _img_name(path))
         print("...done")
     return str(real_dir)
 
