@@ -174,3 +174,29 @@ def test_inferencer_compute_metrics(smoke_ckpt, tmp_path, monkeypatch):
     lines = [l for l in txt.splitlines() if l and not l.startswith("#")]
     assert len(lines) == 1
     assert len(lines[0].split()) == 7  # step voxres nsteps fid ofid lpips psnr
+
+
+@pytest.mark.slow
+def test_inferencer_save_voxel_mrc(smoke_ckpt):
+    """--voxel surface: chunked sigma-grid extraction writes a valid
+    MRC-2014 file (reference inference.py:342-385 / extract_shapes.py)."""
+    import struct
+
+    from conditioned_nerf_gan_tpu.infer.inference import Inferencer
+
+    ckpt, _ = smoke_ckpt
+    inf = Inferencer(ckpt, num_imgs=1, image_size=16, seed=0)
+    res = 9
+    out = inf.save_voxel(0, cube_size=1.2, voxel_resolution=res)
+    assert out.exists() and out.suffix == ".mrc"
+
+    raw = out.read_bytes()
+    nx, ny, nz = struct.unpack_from("<3i", raw, 0)
+    (mode,) = struct.unpack_from("<i", raw, 12)
+    assert (nx, ny, nz) == (res, res, res)
+    assert mode == 2  # float32
+    assert raw[208:212] == b"MAP "
+    vol = np.frombuffer(raw[1024:], np.float32).reshape(res, res, res)
+    assert vol.size == res ** 3 and np.isfinite(vol).all()
+    # sigma varies over space (a constant grid would mean a dead eval path)
+    assert vol.std() > 0
