@@ -150,7 +150,26 @@ def measure_torch_baseline() -> float | None:
         sys.path.remove("/root/reference")
 
 
+def _fail_fast_if_tunnel_down() -> None:
+    """The default backend on this machine is a remote-TPU relay; when its
+    tunnel is down every jit hangs indefinitely. Fail fast with a clear
+    message instead (a non-zero exit beats a wedged driver)."""
+    import os
+    import socket
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return  # not the relay-backed platform; nothing to probe
+    try:
+        socket.create_connection(("127.0.0.1", 8083), timeout=5).close()
+    except OSError:
+        raise SystemExit(
+            "bench.py: remote TPU tunnel (127.0.0.1:8083) unreachable — "
+            "refusing to start (every dispatch would hang)"
+        )
+
+
 def main() -> None:
+    _fail_fast_if_tunnel_down()
     value = measure_tpu()
 
     if BASELINE_CACHE.exists():
