@@ -45,6 +45,44 @@ def look_at_world_origin(origin: np.ndarray) -> np.ndarray:
     return mat
 
 
+# Blender cameras look down local -Z with +Y up; the dataset convention is
+# cv-style (+Z forward, +Y down). flip² = I, so it converts either way.
+BLENDER_CAM_FLIP = np.diag([1.0, -1.0, -1.0, 1.0])
+
+
+def blender_cam_pose(origin: np.ndarray) -> np.ndarray:
+    """Blender `matrix_world` for a camera at `origin` looking at the world
+    origin with the dataset's y-up roll convention.
+
+    Deliberately NOT `to_track_quat("-Z", "Y")`: mathutils orients the up axis
+    toward world **+Z** (reference blender_renderer/render_blender.py:259-260
+    renders a z-up world, where that is correct), but this pipeline produces
+    y-up data matching `ops.rays.create_cam2world_matrix` — the convention the
+    trainer's random cameras use (reference utils.py:765) — so the pose is
+    built from the same look-at and converted to Blender's camera axes.
+    """
+    return look_at_world_origin(origin) @ BLENDER_CAM_FLIP
+
+
+def sample_points_on_triangles(verts: np.ndarray, tris: np.ndarray,
+                               n_points: int, rng) -> np.ndarray:
+    """Area-weighted uniform surface samples from a triangle soup
+    (reference blender_renderer/render_blender.py pointcloud.npz production).
+
+    verts: (V, 3) float vertices; tris: (T, 3) int vertex indices.
+    """
+    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    probs = areas / areas.sum()
+    choice = rng.choice(len(tris), n_points, p=probs)
+    u, v = rng.uniform(size=(2, n_points))
+    flip_mask = u + v > 1
+    u[flip_mask], v[flip_mask] = 1 - u[flip_mask], 1 - v[flip_mask]
+    pts = v0[choice] + u[:, None] * (v1[choice] - v0[choice]) + \
+        v[:, None] * (v2[choice] - v0[choice])
+    return pts.astype(np.float32)
+
+
 def intrinsics(fov_deg: float) -> np.ndarray:
     """Normalized 4×4 K with focal = 1/tan(fov/2) (cameras.npz camera_mat_i)."""
     focal = 1.0 / math.tan(math.radians(fov_deg) / 2.0)

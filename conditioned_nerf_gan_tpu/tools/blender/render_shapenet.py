@@ -27,7 +27,7 @@ import numpy as np
 
 try:
     import bpy
-    from mathutils import Vector
+    from mathutils import Matrix, Vector
 except ImportError as exc:  # pragma: no cover - only runs inside Blender
     raise SystemExit(
         "render_shapenet.py must run inside Blender: "
@@ -35,7 +35,12 @@ except ImportError as exc:  # pragma: no cover - only runs inside Blender
     ) from exc
 
 sys.path.append(str(Path(__file__).resolve().parent))
-from camera_utils import sample_cam  # noqa: E402
+from camera_utils import (  # noqa: E402
+    BLENDER_CAM_FLIP,
+    blender_cam_pose,
+    sample_cam,
+    sample_points_on_triangles,
+)
 
 
 def parse_args():
@@ -137,9 +142,8 @@ def camera_matrices(cam):
 
     # Blender cameras look down -Z with +Y up; the dataset convention has the
     # camera looking down +Z with +Y down (cv-style) — flip accordingly.
-    flip = np.diag([1.0, -1.0, -1.0, 1.0])
     cam2world_blender = np.array(cam.matrix_world)
-    cam2world = cam2world_blender @ flip
+    cam2world = cam2world_blender @ BLENDER_CAM_FLIP
     return K, cam2world
 
 
@@ -148,16 +152,7 @@ def sample_surface_points(obj, n_points: int, rng) -> np.ndarray:
     mesh.calc_loop_triangles()
     tris = np.array([t.vertices[:] for t in mesh.loop_triangles])
     verts = np.array([v.co[:] for v in mesh.vertices])
-    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
-    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
-    probs = areas / areas.sum()
-    choice = rng.choice(len(tris), n_points, p=probs)
-    u, v = rng.uniform(size=(2, n_points))
-    flip_mask = u + v > 1
-    u[flip_mask], v[flip_mask] = 1 - u[flip_mask], 1 - v[flip_mask]
-    pts = v0[choice] + u[:, None] * (v1[choice] - v0[choice]) + \
-        v[:, None] * (v2[choice] - v0[choice])
-    return pts.astype(np.float32)
+    return sample_points_on_triangles(verts, tris, n_points, rng)
 
 
 def main():
@@ -184,9 +179,10 @@ def main():
     origins = sample_cam(args.views, args.cam_r, args.cam_r, args.seed)
     cam_dict = {}
     for i, origin in enumerate(origins):
-        cam.location = Vector(origin.tolist())
-        direction = -Vector(origin.tolist())
-        cam.rotation_euler = direction.to_track_quat("-Z", "Y").to_euler()
+        # Pose set directly from the dataset's y-up look-at (see
+        # camera_utils.blender_cam_pose — to_track_quat's up axis references
+        # world +Z, which is the z-up reference pipeline's convention, not ours).
+        cam.matrix_world = Matrix(blender_cam_pose(origin).tolist())
         bpy.context.view_layer.update()
 
         scene.render.filepath = str(out_dir / "image" / f"{i:04}")

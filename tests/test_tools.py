@@ -154,6 +154,63 @@ def test_blender_draw_outputs(dataset_root, tmp_path):
     assert out2.exists() and out2.stat().st_size > 0
 
 
+def test_blender_exporter_pose_matches_renderer_convention():
+    """The pose render_shapenet.py assigns to the Blender camera, run through
+    its own cameras.npz extraction (matrix_world @ BLENDER_CAM_FLIP), must
+    equal the y-up look-at that the NeRF renderer and the synthetic fixture
+    use — so a blender-produced tree and training's random cameras share one
+    convention by construction. Guards the to_track_quat pitfall (mathutils
+    orients the camera's up axis toward world +Z, the z-up reference
+    pipeline's convention, not this y-up one)."""
+    from conditioned_nerf_gan_tpu.ops import create_cam2world_matrix
+    from conditioned_nerf_gan_tpu.tools.blender.camera_utils import (
+        BLENDER_CAM_FLIP,
+        blender_cam_pose,
+        look_at_world_origin,
+        sample_cam,
+    )
+
+    origins = sample_cam(8, r_min=0.7, r_max=1.5, seed=3)
+    ref = np.asarray(create_cam2world_matrix(jnp.asarray(origins), "y"))
+    for i, origin in enumerate(origins):
+        pose = blender_cam_pose(origin)
+        # camera_matrices() extraction: cam2world = matrix_world @ flip
+        cam2world = pose @ BLENDER_CAM_FLIP
+        np.testing.assert_allclose(cam2world, look_at_world_origin(origin),
+                                   atol=1e-12)
+        np.testing.assert_allclose(cam2world, ref[i], atol=1e-6)
+        # a proper rigid pose: orthonormal rotation, camera at origin[i]
+        R = pose[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-12)
+        np.testing.assert_allclose(pose[:3, 3], origin, atol=1e-12)
+
+
+def test_sample_points_on_triangles_area_weighted():
+    from conditioned_nerf_gan_tpu.tools.blender.camera_utils import (
+        sample_points_on_triangles,
+    )
+
+    # two coplanar right triangles in z=0, areas 0.5 and 8.0
+    verts = np.array([
+        [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+        [10.0, 0.0, 0.0], [14.0, 0.0, 0.0], [10.0, 4.0, 0.0],
+    ])
+    tris = np.array([[0, 1, 2], [3, 4, 5]])
+    pts = sample_points_on_triangles(verts, tris, 4000, np.random.default_rng(0))
+    assert pts.shape == (4000, 3) and pts.dtype == np.float32
+    np.testing.assert_allclose(pts[:, 2], 0.0, atol=1e-7)
+    big = pts[:, 0] >= 5.0
+    # area weighting: expect 8.0/8.5 of samples on the big triangle
+    assert abs(big.mean() - 8.0 / 8.5) < 0.03
+    # barycentric containment in each triangle
+    small = pts[~big]
+    assert (small[:, 0] >= 0).all() and (small[:, 1] >= 0).all()
+    assert (small[:, 0] + small[:, 1] <= 1 + 1e-6).all()
+    b = pts[big]
+    assert ((b[:, 0] - 10) / 4 + b[:, 1] / 4 <= 1 + 1e-6).all()
+
+
 def test_fid_txt_roundtrip_plot(tmp_path, monkeypatch):
     """A fid.txt written by the Trainer's writer parses and plots — including
     the random-init calibration stamp (the two sides previously met only in
