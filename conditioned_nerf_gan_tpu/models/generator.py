@@ -67,6 +67,16 @@ class RenderConfig:
     # fine sampling are unaffected (they follow rng presence, as in the
     # reference).
     density_noise: bool = True
+    # save the two SIREN eval outputs (B,R,S,4 rgb_sigma each) across the
+    # ray-chunk remat instead of replaying the eval kernels in the backward:
+    # the fused-VJP kernel's backward only needs its *inputs* (recomputed
+    # cheaply from the ray math), so the forward replay exists purely to
+    # rebuild rgb_sigma for the merge/integration backward. Measured NEUTRAL
+    # at stage 2 (A/B/A 0.697/0.706/0.731 s/step): the ~300 MB of saved
+    # residual HBM traffic cancels the ~70 ms of skipped kernel replay.
+    # Kept as a tested dead lever (grads bit-identical, see
+    # tests/test_train.py::test_save_siren_outputs_grad_parity); default off.
+    save_siren_outputs: bool = False
 
     @classmethod
     def from_metadata(cls, metadata: dict, **overrides) -> "RenderConfig":
@@ -131,6 +141,10 @@ class ImplicitGenerator3d(nn.Module):
         coarse_output = siren_fn(points.reshape(B, R * S, 3), z).reshape(
             B, R, S, 4
         )
+        if config.save_siren_outputs:
+            coarse_output = jax.ad_checkpoint.checkpoint_name(
+                coarse_output, "siren_outputs"
+            )
 
         use_dnoise = use_noise and config.density_noise
         if config.hierarchical_sample:
@@ -167,6 +181,10 @@ class ImplicitGenerator3d(nn.Module):
             )
             fine_z = jax.ad_checkpoint.checkpoint_name(fine_z, "fine_samples")
             fine_output = siren_fn(fine_points, z).reshape(B, R, S, 4)
+            if config.save_siren_outputs:
+                fine_output = jax.ad_checkpoint.checkpoint_name(
+                    fine_output, "siren_outputs"
+                )
             all_outputs, all_z = merge_sorted_samples(
                 fine_output, fine_z, coarse_output, z_vals
             )
@@ -280,10 +298,14 @@ class ImplicitGenerator3d(nn.Module):
                 for k in (k_fine, k_noise1, k_noise2)
             ], axis=1)  # (chunks, 3, 2)
 
+            saved_names = ("fine_samples",)
+            if config.save_siren_outputs:
+                saved_names += ("siren_outputs",)
+
             @functools.partial(
                 jax.checkpoint,
                 policy=jax.checkpoint_policies.save_only_these_names(
-                    "fine_samples"
+                    *saved_names
                 ),
             )
             def chunk_fn(operands):

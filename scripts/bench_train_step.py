@@ -42,6 +42,9 @@ def main():
                     help="force the fused SIREN kernel on (preset default: on)")
     ap.add_argument("--no_pallas", action="store_true",
                     help="force the fused SIREN kernel off (XLA A/B baseline)")
+    ap.add_argument("--save_outputs", action="store_true",
+                    help="ablation: save the SIREN eval outputs across the "
+                         "ray-chunk remat instead of replaying the evals")
     args = ap.parse_args()
 
     from conditioned_nerf_gan_tpu.config import extract_metadata, load_curriculum
@@ -100,7 +103,10 @@ def main():
     import dataclasses
     cfg = TrainStepConfig.from_metadata(meta)
     cfg = dataclasses.replace(
-        cfg, render=dataclasses.replace(cfg.render, density_noise=density_noise)
+        cfg, render=dataclasses.replace(
+            cfg.render, density_noise=density_noise,
+            save_siren_outputs=args.save_outputs or cfg.render.save_siren_outputs,
+        )
     )
 
     B = meta["batch_size"]

@@ -89,6 +89,33 @@ def test_batch_split_grad_accumulation_matches_reference_scaling():
     assert np.isfinite(float(m1["photo_loss"])) and np.isfinite(float(m2["photo_loss"]))
 
 
+def test_save_siren_outputs_grad_parity():
+    """RenderConfig.save_siren_outputs only changes the ray-chunk remat
+    policy (save the two SIREN eval outputs instead of replaying the eval
+    kernels in the backward) — gradients must be bit-identical to the
+    replay path."""
+    import dataclasses
+
+    gen = ImplicitGenerator3d(siren_type="SHORTSIREN", z_dim=32, hidden_dim=32)
+    cfg = RenderConfig(img_size=8, num_steps=6, ray_chunks=4,
+                       hierarchical_sample=True)
+    cfg_save = dataclasses.replace(cfg, save_siren_outputs=True)
+    key = jax.random.PRNGKey(0)
+    z = jax.random.normal(key, (2, 32))
+    cam = jnp.broadcast_to(jnp.eye(4), (2, 4, 4)).astype(jnp.float32)
+    params = gen.init(key, z, cam, cfg)
+
+    def loss(p, c):
+        px, d = gen.apply(p, z, cam, c, rng=jax.random.PRNGKey(1),
+                          nerf_noise=0.3, deterministic=True)
+        return jnp.sum(px ** 2) + jnp.sum(d ** 2)
+
+    g0 = jax.jit(jax.grad(loss), static_argnums=1)(params, cfg)
+    g1 = jax.jit(jax.grad(loss), static_argnums=1)(params, cfg_save)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_r1_penalty_positive_and_differentiable():
     from conditioned_nerf_gan_tpu.training.losses import r1_penalty
 
