@@ -167,5 +167,9 @@ def read_exr_depth(path: str | Path, img_size: int | None = None) -> np.ndarray:
     if img_size is not None and img_size != depth.shape[0]:
         mode = cv2.INTER_LINEAR if img_size > depth.shape[0] else cv2.INTER_AREA
         depth = cv2.resize(depth, dsize=(img_size, img_size), interpolation=mode)
-    depth[depth == np.inf] = 0
+    # zero ALL non-finite values, not just +inf: bilinear UPSCALE across the
+    # inf background produces NaN (inf - inf inside cv2's lerp), which the
+    # reference's `depth[depth == np.inf] = 0` (datasets.py:215) would leak
+    # into the depth loss — latent there (it never upscales), fixed here.
+    depth[~np.isfinite(depth)] = 0
     return depth

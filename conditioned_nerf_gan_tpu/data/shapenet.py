@@ -360,22 +360,42 @@ class DataLoader:
 
         get_batch = getattr(self.dataset, "get_batch", None)
 
+        # abandoning the iterator mid-epoch (curriculum milestone restarts,
+        # --stop_step early return) must release the worker: a plain
+        # q.put would block forever on the bounded queue with no consumer,
+        # leaking the thread plus `prefetch` decoded batches per milestone
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         def worker():
             for b in range(start, n_batches):
                 chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
                 if get_batch is not None:
-                    q.put(get_batch(chunk))
+                    item = get_batch(chunk)
                 else:
-                    q.put(_collate([self.dataset[i] for i in chunk]))
-            q.put(None)
+                    item = _collate([self.dataset[i] for i in chunk])
+                if not put(item):
+                    return
+            put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
 
 
 def get_dataloader(

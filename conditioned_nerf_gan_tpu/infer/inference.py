@@ -161,10 +161,12 @@ class Inferencer:
             hidden_dim=gen_meta.get("hidden_dim", 256),
             compute_dtype=compute_dtype,
             use_fast_sin=meta.get("use_fast_sin", False),
-            # forward-only inference renders default to the fused kernel
-            # (1.31× at the eval protocol); it self-gates on TPU + the
-            # bf16/fast-sin policy, and a curriculum may pin it off
-            use_pallas=meta.get("use_pallas", True),
+            # same resolution as the Trainer (default off, thousand preset
+            # pins it on): inference must render the exact forward the
+            # checkpoint was trained through, so the default follows the
+            # training-time default rather than always-on. The kernel
+            # additionally self-gates on TPU + the bf16/fast-sin policy.
+            use_pallas=meta.get("use_pallas", False),
         )
         ds = meta["dataset"]
         if ds["load_voxel"]:

@@ -78,6 +78,15 @@ class Trainer:
         self.process_count = process_count
         self.is_main = process_index == 0
         self.mesh = mesh if mesh is not None else make_mesh()
+        # the untrimmed device set: _rebuild_step_fn re-trims from this at
+        # every milestone, so a stage whose batch divides the full device
+        # count gets the whole mesh back after a smaller stage trimmed it
+        self._base_devices = list(self.mesh.devices.flat)
+        # host copies of param subtrees for eval renders, keyed on
+        # (step, state identity) — one device_get per eval pass, not one
+        # per generate_img/encode_batch dispatch (FID loops call these
+        # hundreds of times per eval with unchanged params)
+        self._host_params_cache: dict = {}
 
         self.curriculum = load_curriculum(
             output_dir=args.output_dir,
@@ -302,7 +311,7 @@ class Trainer:
         # 8-device host). Multi-host meshes cannot be trimmed (every
         # process's devices must participate in the SPMD program), so the
         # config must divide — fail loudly instead of mis-sharding.
-        devices = list(self.mesh.devices.flat)
+        devices = self._base_devices
         n_dev = len(devices)
         global_batch = self.metadata["batch_size"] * self.process_count
         if self.process_count > 1:
@@ -315,7 +324,10 @@ class Trainer:
         else:
             while n_dev > 1 and global_batch % n_dev != 0:
                 n_dev -= 1
-            if n_dev != len(devices):
+            if n_dev != self.mesh.size:
+                # trim to the largest usable subset — or grow back to it,
+                # when a later stage's batch divides more of the base set
+                # than the previous stage's did
                 self.mesh = make_mesh(devices[:n_dev])
         # GSPMD cannot partition Mosaic kernels, so a use_pallas generator
         # on a >1-device mesh needs the manual shard_map step (explicit
@@ -511,8 +523,14 @@ class Trainer:
                     np.float32(self.alpha), np.float32(self.nerf_noise),
                 )
                 # don't sync here: queue the device metrics and let the next
-                # batch's host load + transfer overlap this step's compute
-                self._pending_metrics.append((self.step, metrics))
+                # batch's host load + transfer overlap this step's compute.
+                # The recording flags are snapshotted NOW: a milestone can
+                # swap self.metadata before these metrics are flushed, and
+                # recording them under the new flags would drop or KeyError
+                # on losses the old stage did/didn't produce.
+                self._pending_metrics.append(
+                    (self.step, metrics, self._record_flags())
+                )
                 self._flush_metrics(keep=self._MAX_IN_FLIGHT)
                 self._batch_offset += 1
                 if self.is_main and (self.step + 1) % self.args.print_freq == 0:
@@ -568,24 +586,36 @@ class Trainer:
         keep > 0 leaves that many steps in flight (the float() of an entry
         blocks until its step has executed on the device)."""
         while len(self._pending_metrics) > keep:
-            step_i, m = self._pending_metrics.popleft()
-            self._record({k: float(v) for k, v in m.items()}, step=step_i)
+            step_i, m, flags = self._pending_metrics.popleft()
+            self._record({k: float(v) for k, v in m.items()}, step=step_i,
+                         flags=flags)
 
-    def _record(self, metrics: dict, step: int | None = None) -> None:
+    def _record_flags(self) -> dict:
+        """The metadata flags _record consults, captured at enqueue time."""
+        return {
+            "enable_discriminator": self.metadata["enable_discriminator"],
+            "photo_loss": self.metadata["photo_loss"],
+            "depth_loss": self.metadata.get("depth_loss"),
+            "load_pcl": self.metadata["dataset"]["load_pcl"],
+        }
+
+    def _record(self, metrics: dict, step: int | None = None,
+                flags: dict | None = None) -> None:
         step = self.step if step is None else step
+        flags = self._record_flags() if flags is None else flags
         # z_reg progress print every 100 steps (reference utils.py:696-698)
         if (
             self.is_main and "z_reg" in metrics
-            and self.metadata["dataset"]["load_pcl"] and step % 100 == 0
+            and flags["load_pcl"] and step % 100 == 0
         ):
             print("z_reg: ", metrics["z_reg"], flush=True)
         if "d_loss" in metrics:
             self.histories["discriminator_losses"].append(metrics["d_loss"])
-        if self.metadata["enable_discriminator"]:
+        if flags["enable_discriminator"]:
             self.histories["generator_losses"].append(metrics["g_loss"])
-        if self.metadata["photo_loss"]:
+        if flags["photo_loss"]:
             self.histories["photometry_losses"].append(metrics["photo_loss"])
-        if self.metadata.get("depth_loss"):
+        if flags["depth_loss"]:
             self.histories["depth_losses"].append(metrics["depth_loss"])
 
     # ------------------------------------------------------------------
@@ -618,7 +648,16 @@ class Trainer:
         """
         params = getattr(self.state, name)
         if self.process_count > 1 or self.mesh.size > 1:
-            params = jax.device_get(params)
+            # one device_get per (step, state) — eval loops (FID
+            # output_images at batch 2) call this per rendered batch with
+            # unchanged params, and a whole-tree host round-trip per
+            # dispatch dominates through the remote-TPU tunnel
+            key = (self.step, id(self.state))
+            if self._host_params_cache.get("key") != key:
+                self._host_params_cache = {"key": key}
+            if name not in self._host_params_cache:
+                self._host_params_cache[name] = jax.device_get(params)
+            params = self._host_params_cache[name]
         return params
 
     def encode_batch(self, batch: dict):
@@ -646,18 +685,16 @@ class Trainer:
         fn = self._render_cache.get(key)
         if fn is None:
             cfg = RenderConfig.from_metadata(meta, perturb=False)
-            # eval renders are forward-only with big per-dispatch point
-            # counts — the regime where the fused FiLM-SIREN kernel wins
-            # 1.31× (train steps are chunk-launch-bound and stay on XLA);
-            # the kernel self-gates on TPU + the bf16/fast-sin policy, so
-            # this is a no-op for fp32 or CPU runs. An explicit
-            # `use_pallas: False` in the curriculum is respected.
-            eval_gen = dataclasses.replace(
-                self.generator,
-                use_pallas=self.metadata.get("use_pallas", True),
-            )
+            # eval renders use the SAME generator (and hence the same
+            # use_pallas resolution) as the train step: metrics must
+            # measure the forward the losses were trained through, not a
+            # differently-rounded one. The thousand preset defaults the
+            # fused kernel on for both; the kernel additionally self-gates
+            # on TPU + the bf16/fast-sin policy, so this is a no-op for
+            # fp32 or CPU runs.
             fn = jax.jit(
-                lambda p, zz, cc: eval_gen.apply(p, zz, cc, cfg, rng=None)
+                lambda p, zz, cc: self.generator.apply(p, zz, cc, cfg,
+                                                       rng=None)
             )
             self._render_cache[key] = fn
         return fn(self._local_params("params_G"), z, cam2world)

@@ -168,29 +168,79 @@ inline float PixelValue(const Image& img, int y, int x, int c) {
   return float(img.pixels[stride * y + size_t(x) * bytes_per_px + c]) / 255.0f;
 }
 
-// Area-average resize of the RGB channels into (out_size, out_size, 3) with
-// affine normalization — matching cv2.INTER_AREA for integer downscales and
-// approximating INTER_LINEAR otherwise.
-void ResizeNormalize(const Image& img, float* out, int out_size, float scale,
-                     float shift) {
-  const float fy = float(img.height) / out_size;
-  const float fx = float(img.width) / out_size;
-  for (int oy = 0; oy < out_size; ++oy) {
-    const int y0 = int(oy * fy);
-    const int y1 = std::max(y0 + 1, std::min(int((oy + 1) * fy + 0.9999f),
-                                             img.height));
-    for (int ox = 0; ox < out_size; ++ox) {
-      const int x0 = int(ox * fx);
-      const int x1 = std::max(x0 + 1, std::min(int((ox + 1) * fx + 0.9999f),
-                                               img.width));
-      for (int c = 0; c < 3; ++c) {
-        float acc = 0.0f;
-        for (int y = y0; y < y1; ++y)
-          for (int x = x0; x < x1; ++x) acc += PixelValue(img, y, x, c);
-        const float mean = acc / float((y1 - y0) * (x1 - x0));
-        out[(size_t(oy) * out_size + ox) * 3 + c] = mean * scale + shift;
+// cv2-matched single-channel resample, mirroring the python loaders'
+// mode selection (data/shapenet.py:41, data/exr.py:168):
+//   out_size > src height  -> INTER_LINEAR (half-pixel-center bilinear,
+//                             replicated borders)
+//   otherwise              -> INTER_AREA (exact fractional-area average;
+//                             reduces to box averaging at integer ratios,
+//                             identity at equal size)
+// Float arithmetic throughout — cv2's fixed-point path for integer images
+// differs by <1 LSB of the source type.
+template <typename GetPixel, typename PutPixel>
+void ResizeCv2(int w, int h, int out_size, const GetPixel& get,
+               const PutPixel& put) {
+  if (out_size > h) {  // INTER_LINEAR
+    const float fy = float(h) / out_size;
+    const float fx = float(w) / out_size;
+    for (int oy = 0; oy < out_size; ++oy) {
+      const float sy = (oy + 0.5f) * fy - 0.5f;
+      const int yf = int(std::floor(sy));
+      const float dy = sy - yf;
+      const int y0 = std::min(std::max(yf, 0), h - 1);
+      const int y1 = std::min(std::max(yf + 1, 0), h - 1);
+      for (int ox = 0; ox < out_size; ++ox) {
+        const float sx = (ox + 0.5f) * fx - 0.5f;
+        const int xf = int(std::floor(sx));
+        const float dx = sx - xf;
+        const int x0 = std::min(std::max(xf, 0), w - 1);
+        const int x1 = std::min(std::max(xf + 1, 0), w - 1);
+        const float top = (1.0f - dx) * get(y0, x0) + dx * get(y0, x1);
+        const float bot = (1.0f - dx) * get(y1, x0) + dx * get(y1, x1);
+        put(oy, ox, (1.0f - dy) * top + dy * bot);
       }
     }
+    return;
+  }
+  // INTER_AREA: average over the exact source rectangle
+  // [ox·fx, (ox+1)·fx) × [oy·fy, (oy+1)·fy) with fractional edge weights.
+  const double fy = double(h) / out_size;
+  const double fx = double(w) / out_size;
+  for (int oy = 0; oy < out_size; ++oy) {
+    const double sy0 = oy * fy, sy1 = (oy + 1) * fy;
+    const int y0 = int(sy0);
+    const int y1 = std::min(int(std::ceil(sy1)), h);
+    for (int ox = 0; ox < out_size; ++ox) {
+      const double sx0 = ox * fx, sx1 = (ox + 1) * fx;
+      const int x0 = int(sx0);
+      const int x1 = std::min(int(std::ceil(sx1)), w);
+      double acc = 0.0, wsum = 0.0;
+      for (int y = y0; y < y1; ++y) {
+        const double wy =
+            std::min<double>(y + 1, sy1) - std::max<double>(y, sy0);
+        for (int x = x0; x < x1; ++x) {
+          const double wx =
+              std::min<double>(x + 1, sx1) - std::max<double>(x, sx0);
+          acc += wy * wx * get(y, x);
+          wsum += wy * wx;
+        }
+      }
+      put(oy, ox, float(acc / wsum));
+    }
+  }
+}
+
+// Resize the RGB channels into (out_size, out_size, 3) with affine
+// normalization, cv2-equivalent interpolation (ResizeCv2).
+void ResizeNormalize(const Image& img, float* out, int out_size, float scale,
+                     float shift) {
+  for (int c = 0; c < 3; ++c) {
+    ResizeCv2(
+        img.width, img.height, out_size,
+        [&](int y, int x) { return PixelValue(img, y, x, c); },
+        [&](int oy, int ox, float v) {
+          out[(size_t(oy) * out_size + ox) * 3 + c] = v * scale + shift;
+        });
   }
 }
 
@@ -426,26 +476,18 @@ int DecodeExrDepth(const char* path, std::vector<float>* out_px, int* out_w,
   return 0;
 }
 
-// Area-average resize of a single-channel depth map; inf-poisoned windows
-// collapse to 0 afterwards (the background convention).
+// cv2-equivalent resize (ResizeCv2) of a single-channel depth map;
+// inf-poisoned outputs collapse to 0 afterwards (the background
+// convention, matching data/exr.py: 65504→inf before resize, non-finite
+// zeroed after).
 void ResizeDepth(const std::vector<float>& px, int w, int h, float* out,
                  int out_size) {
-  const float fy = float(h) / out_size;
-  const float fx = float(w) / out_size;
-  for (int oy = 0; oy < out_size; ++oy) {
-    const int y0 = int(oy * fy);
-    const int y1 = std::max(y0 + 1, std::min(int((oy + 1) * fy + 0.9999f), h));
-    for (int ox = 0; ox < out_size; ++ox) {
-      const int x0 = int(ox * fx);
-      const int x1 =
-          std::max(x0 + 1, std::min(int((ox + 1) * fx + 0.9999f), w));
-      float acc = 0.0f;
-      for (int y = y0; y < y1; ++y)
-        for (int x = x0; x < x1; ++x) acc += px[size_t(y) * w + x];
-      const float mean = acc / float((y1 - y0) * (x1 - x0));
-      out[size_t(oy) * out_size + ox] = std::isfinite(mean) ? mean : 0.0f;
-    }
-  }
+  ResizeCv2(
+      w, h, out_size,
+      [&](int y, int x) { return px[size_t(y) * w + x]; },
+      [&](int oy, int ox, float v) {
+        out[size_t(oy) * out_size + ox] = std::isfinite(v) ? v : 0.0f;
+      });
 }
 
 }  // namespace

@@ -33,10 +33,14 @@ def test_decode_matches_cv2(png_files):
     out = native.read_png16(paths[0], 64, scale=1.0, shift=0.0)
     np.testing.assert_allclose(out, truths[0], atol=2e-4)
 
-    # resized decode vs cv2 INTER_AREA
-    out32 = native.read_png16(paths[0], 32, scale=1.0, shift=0.0)
-    ref = cv2.resize(truths[0], (32, 32), interpolation=cv2.INTER_AREA)
-    np.testing.assert_allclose(out32, ref, atol=2e-3)
+    # resized decode vs cv2 — integer INTER_AREA downscale, fractional
+    # INTER_AREA downscale, and INTER_LINEAR upscale (the python loader's
+    # mode split, data/shapenet.py:41)
+    for size in (32, 40, 128):
+        out = native.read_png16(paths[0], size, scale=1.0, shift=0.0)
+        mode = cv2.INTER_LINEAR if size > 64 else cv2.INTER_AREA
+        ref = cv2.resize(truths[0], (size, size), interpolation=mode)
+        np.testing.assert_allclose(out, ref, atol=2e-3, err_msg=f"size {size}")
 
 
 @pytest.mark.skipif(not native.available(), reason="no native toolchain")
@@ -151,7 +155,9 @@ def test_exr_depth_matches_python_reader(tmp_path, compression):
     path = tmp_path / f"d{compression}.exr"
     _write_exr(path, depth, compression=compression)
 
-    for size in (32, 16):  # identity + area downscale
+    # identity, integer + fractional area downscale, bilinear upscale —
+    # all four cv2.resize regimes of the python reader (data/exr.py:168)
+    for size in (32, 16, 20, 64):
         ref = read_exr_depth(path, size).astype(np.float32)
         got = native.read_exr_depth_native(path, size)
         np.testing.assert_allclose(got, ref, atol=2e-3,

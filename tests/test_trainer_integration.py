@@ -92,6 +92,34 @@ def test_trainer_voxel_conditioned(train_env, monkeypatch):
     assert list((out / "samples" / "valview").glob("*.png"))
 
 
+def test_deferred_metrics_flushed_under_enqueue_flags(train_env, monkeypatch):
+    """Queued device metrics must be recorded under the metadata flags in
+    force when the step RAN, not when the queue drains: a curriculum
+    milestone that toggles enable_discriminator (or photo_loss) between
+    enqueue and flush would otherwise KeyError on the missing loss or
+    silently drop history entries."""
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+    import importlib
+
+    import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
+
+    importlib.reload(smoke)
+    from conditioned_nerf_gan_tpu.training import Trainer
+
+    trainer = Trainer(_args(root / "run_flags"))
+    # a pre-milestone step ran with the discriminator off → no g_loss key
+    trainer.metadata["enable_discriminator"] = False
+    trainer._pending_metrics.append(
+        (0, {"photo_loss": np.float32(0.5)}, trainer._record_flags())
+    )
+    # the milestone turns it on before the deferred flush
+    trainer.metadata["enable_discriminator"] = True
+    trainer._flush_metrics()  # must not KeyError on the absent g_loss
+    assert trainer.histories["photometry_losses"] == [0.5]
+    assert trainer.histories["generator_losses"] == []
+
+
 def test_multiprocess_fid_shards_partition(train_env, monkeypatch, tmp_path):
     """Two processes' FID image dumps partition the fidset exactly (the
     reference's DistributedSampler sharding, fid_evaluation.py:103-116), and
