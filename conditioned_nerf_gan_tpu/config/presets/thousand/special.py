@@ -76,6 +76,11 @@ special = {
     "fid": {
         "subset": "val",
         "target_size": 128,
+        # TPU retune of the reference's "2 if num_steps>48 else 8" VRAM rule
+        # (fid_evaluation.py:95-98): eval renders are forward-only and
+        # ray-chunked, so memory is bounded by the chunk — batch 16 cuts the
+        # per-dispatch tunnel latency 8× with bit-identical images
+        "render_batch": 16,
     },
     "dataset": {
         "path": os.environ.get("CNG_DATASET_PATH", "data/ShapeNetCar"),

@@ -84,7 +84,13 @@ def output_images(
     dataset = trainer.fidset
     img_size = metadata["fid"]["target_size"]
     num_steps = metadata["num_steps"]
-    batch_size = 2 if num_steps > 48 else 8
+    # the reference's rule (fid_evaluation.py:95-98) is an A40 VRAM bound;
+    # the TPU render is ray-chunked (forward memory ~ chunk, not image), so
+    # presets override with fid.render_batch — per-sample renders are
+    # batch-invariant (rng=None), only dispatch count changes
+    batch_size = metadata["fid"].get("render_batch") or (
+        2 if num_steps > 48 else 8
+    )
     loader = DataLoader(
         dataset, batch_size, shuffle=False, drop_last=False,
         process_index=process_index, process_count=process_count,

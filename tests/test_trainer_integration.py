@@ -167,6 +167,35 @@ def test_multiprocess_fid_shards_partition(train_env, monkeypatch, tmp_path):
     assert evaluate_trainer(trainer, meta) is None
 
 
+def test_fid_render_batch_invariance(train_env, monkeypatch, tmp_path):
+    """fid.render_batch only changes dispatch granularity: the rendered
+    eval images must be byte-identical across batch sizes (guards against
+    batch-shaped rng or batch-coupled math sneaking into the eval render)."""
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+    import importlib
+
+    import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
+
+    importlib.reload(smoke)
+    from conditioned_nerf_gan_tpu.eval.fid_evaluation import output_images
+    from conditioned_nerf_gan_tpu.training import Trainer
+
+    trainer = Trainer(_args(root / "run_fid_batch"))
+    trainer.load_models()
+    meta = trainer._eval_metadata()
+
+    out1, out4 = tmp_path / "b1", tmp_path / "b4"
+    meta["fid"]["render_batch"] = 1
+    output_images(trainer, meta, out1)
+    meta["fid"]["render_batch"] = 4
+    output_images(trainer, meta, out4)
+    names = sorted(p.name for p in out1.iterdir())
+    assert names == sorted(p.name for p in out4.iterdir())
+    for n in names:
+        assert (out1 / n).read_bytes() == (out4 / n).read_bytes(), n
+
+
 def test_num_steps_only_stage_transition(train_env, monkeypatch):
     """A milestone that changes only num_steps / z_reg_weight (no batch or
     img change — the reference thousand curriculum's step-25000 stage) must
