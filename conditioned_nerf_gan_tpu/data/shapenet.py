@@ -376,15 +376,23 @@ class DataLoader:
             return False
 
         def worker():
-            for b in range(start, n_batches):
-                chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                if get_batch is not None:
-                    item = get_batch(chunk)
-                else:
-                    item = _collate([self.dataset[i] for i in chunk])
-                if not put(item):
-                    return
-            put(None)
+            # decode errors (corrupt PNG/EXR, missing file — the native
+            # loaders raise RuntimeError on any of them) must travel through
+            # the queue: a worker that dies without putting anything leaves
+            # the consumer blocked on q.get() forever, wedging training
+            # silently instead of failing loudly
+            try:
+                for b in range(start, n_batches):
+                    chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                    if get_batch is not None:
+                        item = get_batch(chunk)
+                    else:
+                        item = _collate([self.dataset[i] for i in chunk])
+                    if not put(item):
+                        return
+                put(None)
+            except BaseException as exc:  # noqa: BLE001 — forwarded, not eaten
+                put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -393,6 +401,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise RuntimeError("DataLoader worker failed") from item
                 yield item
         finally:
             stop.set()

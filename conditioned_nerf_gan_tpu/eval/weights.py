@@ -104,8 +104,6 @@ def stamp_metric_log(path) -> None:
     from pathlib import Path
 
     path = Path(path)
-    if path.exists():
-        return
     uncalibrated = []
     if not inception_calibrated():
         uncalibrated.append("FID/oFID (CNG_INCEPTION_WEIGHTS unset)")
@@ -113,8 +111,19 @@ def stamp_metric_log(path) -> None:
         uncalibrated.append("LPIPS (CNG_LPIPS_WEIGHTS unset)")
     if not uncalibrated:
         return
-    path.write_text(
+    stamp = (
         RANDOM_INIT_STAMP_PREFIX + "; ".join(uncalibrated)
         + " — these columns are self-consistent within this framework only,"
         " NOT comparable to published numbers\n"
     )
+    if path.exists():
+        # a calibrated run's log being resumed without the weight env vars
+        # (the lost-env requeue case) must still get flagged before the
+        # first uncalibrated line lands; mid-file stamps are fine — the
+        # parsers skip any '#' line. Idempotent across repeated appends.
+        if stamp in path.read_text():
+            return
+        with path.open("a") as f:
+            f.write(stamp)
+    else:
+        path.write_text(stamp)

@@ -51,6 +51,7 @@ from ..parallel import (
     make_mesh,
     replicate,
     shard_batch,
+    sync_processes,
 )
 from ..utils import save_image_grid
 from .checkpoints import find_newest_checkpoint, restore_checkpoint, save_checkpoint
@@ -351,6 +352,16 @@ class Trainer:
             self.state = replicate(self.state, self.mesh)
         else:
             self._step_fn = jax.jit(step_fn, donate_argnums=(0,))
+            # a previous multi-device stage left the state committed to the
+            # old mesh; feeding it to this plain jit would compile a GSPMD
+            # program over that mesh (a Mosaic partitioning error under
+            # use_pallas, silent redundant execution without) — re-place it
+            # on the trimmed mesh's single device
+            leaves = jax.tree.leaves(self.state)
+            if leaves and isinstance(leaves[0], jax.Array) and len(
+                    leaves[0].sharding.device_set) > 1:
+                self.state = jax.device_put(
+                    jax.device_get(self.state), self.mesh.devices.flat[0])
         # multi-process: the new executable's first run creates gloo
         # communicators (hard 30 s rendezvous) — align it at the first
         # invocation, where the real arguments are available.
@@ -648,15 +659,19 @@ class Trainer:
         """
         params = getattr(self.state, name)
         if self.process_count > 1 or self.mesh.size > 1:
-            # one device_get per (step, state) — eval loops (FID
-            # output_images at batch 2) call this per rendered batch with
-            # unchanged params, and a whole-tree host round-trip per
-            # dispatch dominates through the remote-TPU tunnel
+            # one transfer per (step, state) — eval loops (FID output_images)
+            # call this per rendered batch with unchanged params. The cached
+            # copy is re-committed to this process's first device: caching
+            # the host numpy instead would make every jit dispatch re-upload
+            # the whole tree through the remote-TPU tunnel (the device_get
+            # is amortized but an uncommitted-numpy device_put is not).
             key = (self.step, id(self.state))
             if self._host_params_cache.get("key") != key:
                 self._host_params_cache = {"key": key}
             if name not in self._host_params_cache:
-                self._host_params_cache[name] = jax.device_get(params)
+                self._host_params_cache[name] = jax.device_put(
+                    jax.device_get(params), jax.local_devices()[0]
+                )
             params = self._host_params_cache[name]
         return params
 
@@ -701,19 +716,25 @@ class Trainer:
 
     def sample_imgs(self) -> None:
         """Dump GT/generated rgb+depth grids (utils.py:844-915)."""
-        if not (
-            self.is_main and (self.step + 1) % self.args.sampling_interval == 0
-        ):
+        if (self.step + 1) % self.args.sampling_interval != 0:
             return
-        self._flush_metrics()  # keep history ordering: train losses first
-        for dataset, path, label in (
-            (self.trainset, self.samples_train_path, "train"),
-            (self.valset, self.samples_val_path, "val"),
-            (self.testset, self.samples_test_path, "test"),
-        ):
-            self._sample_from_cameras(dataset, path)
-        self.val_loss(self.valset, "photometry_losses_val", "depth_losses_val")
-        self.val_loss(self.testset, "photometry_losses_test", "depth_losses_test")
+        if self.is_main:
+            self._flush_metrics()  # keep history order: train losses first
+            for dataset, path, label in (
+                (self.trainset, self.samples_train_path, "train"),
+                (self.valset, self.samples_val_path, "val"),
+                (self.testset, self.samples_test_path, "test"),
+            ):
+                self._sample_from_cameras(dataset, path)
+            self.val_loss(self.valset, "photometry_losses_val",
+                          "depth_losses_val")
+            self.val_loss(self.testset, "photometry_losses_test",
+                          "depth_losses_test")
+        # same shape as evaluate_trainer's third barrier: the main process
+        # just spent well over the 30 s gloo rendezvous window rendering
+        # grids and val losses — without this the other processes' next
+        # train-step collective times out waiting for it
+        sync_processes("sample_imgs_done")
 
     def _sample_from_cameras(self, dataset, save_dir, num_imgs: int = 12) -> None:
         num_imgs = min(num_imgs, len(dataset))

@@ -44,6 +44,7 @@ from conditioned_nerf_gan_tpu.ops.fastmath import fast_sin
 from conditioned_nerf_gan_tpu.ops.pallas.film_siren import (
     _fold_film,
     _forward_pallas,
+    _sin7 as sin7,  # the shipped polynomial — the A/B must benchmark it
     film_siren_mlp_reference,
 )
 
@@ -129,19 +130,6 @@ def forward_v3(points, freq, phase, w0, b0, ws, bs, wf, bf,
         ),
     )(pts2, w0f, c0[:, None], wsf, cs, wf_p, bf_p)
     return out.reshape(Bb, Nn, _OUT_PAD)[..., :C]
-
-
-# degree-7 odd minimax fit of sin on [-pi, pi]: max err ~1.5e-4, well under
-# the bf16 matmul noise (~4e-3) of the only policy the kernel serves
-_S1, _S3, _S5, _S7 = 9.9926289884e-1, -1.6565644419e-1, 7.9559223702e-3, -1.4495299408e-4
-_INV_TWO_PI = 1.0 / (2.0 * np.pi)
-_TWO_PI = 2.0 * np.pi
-
-
-def sin7(x):
-    x = x - jnp.round(x * _INV_TWO_PI) * _TWO_PI
-    x2 = x * x
-    return x * (_S1 + x2 * (_S3 + x2 * (_S5 + x2 * _S7)))
 
 
 def _kernel_v4(pts_ref, w0ft_ref, c0_ref, wsft_ref, cs_ref, wft_ref, bf_ref,

@@ -268,3 +268,21 @@ def test_dataloader_start_batch_skips_without_decoding(dataset_root):
         np.testing.assert_array_equal(got["img"], want["img"])
         np.testing.assert_array_equal(got["pcl"], want["pcl"])
         assert got["img_path"] == want["img_path"]
+
+
+def test_dataloader_worker_error_raises_instead_of_hanging(dataset_root):
+    """A decode error in the prefetch worker must surface in the consumer
+    (r3 review: a dying worker left the main thread blocked on q.get()
+    forever — a corrupt PNG mid-epoch would wedge training silently)."""
+    ds = ShapeNetDataset(dataset_root, 32, "twenty", META, False, True,
+                         load_depth=False, shuffle=False)
+
+    class Corrupt(ShapeNetDataset):
+        def __getitem__(self, index):
+            raise OSError("truncated PNG")
+
+    ds.__class__ = Corrupt
+    dl = DataLoader(ds, batch_size=2, shuffle=False, seed=0)
+    with pytest.raises(RuntimeError, match="DataLoader worker failed") as exc:
+        next(iter(dl))
+    assert isinstance(exc.value.__cause__, OSError)

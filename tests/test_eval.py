@@ -141,3 +141,25 @@ def test_stamp_metric_log_names_uncalibrated_nets(tmp_path, monkeypatch):
     p3 = tmp_path / "fid_cal.txt"
     stamp_metric_log(p3)
     assert not p3.exists()
+
+
+def test_stamp_metric_log_flags_uncalibrated_append(tmp_path, monkeypatch):
+    """A pre-existing calibrated fid.txt being resumed WITHOUT the weight env
+    vars (the lost-env requeue case) still gets stamped before uncalibrated
+    lines land — and the stamp is idempotent across repeated appends
+    (r3 review: path.exists() used to short-circuit the stamp entirely)."""
+    from conditioned_nerf_gan_tpu.eval.weights import (
+        RANDOM_INIT_STAMP_PREFIX,
+        stamp_metric_log,
+    )
+
+    p = tmp_path / "fid.txt"
+    p.write_text("1000 12.5 13.1 0.21 24.2\n")  # calibrated-era lines
+    monkeypatch.delenv("CNG_INCEPTION_WEIGHTS", raising=False)
+    monkeypatch.delenv("CNG_LPIPS_WEIGHTS", raising=False)
+    stamp_metric_log(p)
+    stamp_metric_log(p)  # idempotent
+    lines = p.read_text().splitlines()
+    assert lines[0].startswith("1000 ")  # original data intact
+    stamps = [l for l in lines if l.startswith(RANDOM_INIT_STAMP_PREFIX)]
+    assert len(stamps) == 1 and "FID/oFID" in stamps[0]
