@@ -88,7 +88,10 @@ def output_images(
     # the TPU render is ray-chunked (forward memory ~ chunk, not image), so
     # presets override with fid.render_batch — per-sample renders are
     # batch-invariant (rng=None), only dispatch count changes
-    batch_size = metadata["fid"].get("render_batch") or (
+    render_batch = metadata["fid"].get("render_batch")
+    if render_batch is not None and render_batch < 1:
+        raise ValueError(f"fid.render_batch must be >= 1, got {render_batch}")
+    batch_size = render_batch if render_batch is not None else (
         2 if num_steps > 48 else 8
     )
     loader = DataLoader(

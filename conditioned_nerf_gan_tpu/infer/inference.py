@@ -159,6 +159,10 @@ class Inferencer:
             input_dim=gen_meta.get("input_dim", 3),
             output_dim=gen_meta.get("output_dim", 4),
             hidden_dim=gen_meta.get("hidden_dim", 256),
+            drop_out=gen_meta.get("drop_out",
+                                  meta.get("dropout_ratio", 0)),
+            mapping_network=gen_meta.get("mapping_network",
+                                         "CustomMappingNetwork"),
             compute_dtype=compute_dtype,
             use_fast_sin=meta.get("use_fast_sin", False),
             # same resolution as the Trainer (default off, thousand preset

@@ -84,10 +84,11 @@ class Trainer:
         # count gets the whole mesh back after a smaller stage trimmed it
         self._base_devices = list(self.mesh.devices.flat)
         # host copies of param subtrees for eval renders, keyed on
-        # (step, state identity) — one device_get per eval pass, not one
+        # (step, state version) — one device_get per eval pass, not one
         # per generate_img/encode_batch dispatch (FID loops call these
         # hundreds of times per eval with unchanged params)
         self._host_params_cache: dict = {}
+        self._state_version = 0
 
         self.curriculum = load_curriculum(
             output_dir=args.output_dir,
@@ -177,6 +178,8 @@ class Trainer:
             output_dim=gen_meta.get("output_dim", 4),
             hidden_dim=gen_meta.get("hidden_dim", 256),
             drop_out=gen_meta.get("drop_out", 0),
+            mapping_network=gen_meta.get("mapping_network",
+                                         "CustomMappingNetwork"),
             compute_dtype=compute_dtype,
             use_fast_sin=self.metadata.get("use_fast_sin", False),
             use_pallas=self.metadata.get("use_pallas", False),
@@ -260,6 +263,18 @@ class Trainer:
         else:
             print("Creating untrained models")
         self._rebuild_step_fn()
+
+    @property
+    def state(self):
+        return self._state
+
+    @state.setter
+    def state(self, value):
+        # every reassignment (init, restore, replicate/re-place, train step)
+        # bumps the version so _host_params_cache can't alias a stale copy
+        # through a recycled id() after the old TrainState is collected
+        self._state = value
+        self._state_version += 1
 
     def _peek_batch(self) -> dict:
         loader = DataLoader(
@@ -665,7 +680,7 @@ class Trainer:
             # the host numpy instead would make every jit dispatch re-upload
             # the whole tree through the remote-TPU tunnel (the device_get
             # is amortized but an uncommitted-numpy device_put is not).
-            key = (self.step, id(self.state))
+            key = (self.step, self._state_version)
             if self._host_params_cache.get("key") != key:
                 self._host_params_cache = {"key": key}
             if name not in self._host_params_cache:
@@ -739,7 +754,15 @@ class Trainer:
     def _sample_from_cameras(self, dataset, save_dir, num_imgs: int = 12) -> None:
         num_imgs = min(num_imgs, len(dataset))
         ray_end = self.metadata["ray_end"]
-        indices = random.sample(range(len(dataset)), num_imgs)
+        # grid selection is a pure function of (seed, step, dataset size):
+        # reproducible across runs AND resume-invariant (a resumed run picks
+        # the same grid the uninterrupted run would have — the reference
+        # seeds the global stream per-rank, train.py:71-72, which is
+        # reproducible but drifts after a resume)
+        grid_rng = random.Random(
+            f"{getattr(self.args, 'seed', 0)}/{self.step}/{len(dataset)}"
+        )
+        indices = grid_rng.sample(range(len(dataset)), num_imgs)
         samples = [dataset[i] for i in indices]
         # one batched render (the reference loops B=1, utils.py:885-909 —
         # per-dispatch latency dominates on a tunnelled TPU)

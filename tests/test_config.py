@@ -111,3 +111,97 @@ def test_thousand_preset_tpu_policy_defaults():
         assert meta["compute_dtype"] == "bfloat16", step
         assert meta["use_fast_sin"] is True, step
         assert meta["use_pallas"] is True, step
+
+
+def test_every_curriculum_key_documented():
+    """Two-way drift test for CURRICULUM_KEY_DOCS (r3 verdict item 5):
+    every key consumed by the package or shipped in a preset must be
+    documented, and every documented key must still be in use."""
+    import copy
+    import dataclasses
+    import re
+    from pathlib import Path
+
+    from conditioned_nerf_gan_tpu.config.curriculums import (
+        CURRICULUM_KEY_DOCS,
+        get_config_base,
+    )
+    from conditioned_nerf_gan_tpu.models.generator import RenderConfig
+    from conditioned_nerf_gan_tpu.training.train_step import TrainStepConfig
+
+    pkg = Path(__file__).resolve().parent.parent
+    sources = sorted((pkg / "conditioned_nerf_gan_tpu").rglob("*.py"))
+    sources += [pkg / "train.py", pkg / "inference.py"]
+    text = "\n".join(p.read_text() for p in sources)
+
+    used: set[str] = set()
+    # metadata["k"] / metadata.get("k" / meta["k"] / meta.get("k"
+    flat = re.compile(
+        r"""\bmeta(?:data)?(?:\[["']([a-zA-Z_0-9]+)["']\]|\.get\(["']([a-zA-Z_0-9]+)["'])"""
+    )
+    # metadata["block"]["k"] / metadata["block"].get("k"
+    nested = re.compile(
+        r"""\bmeta(?:data)?\[["'](generator|unet|dataset|fid)["']\]"""
+        r"""(?:\[["']([a-zA-Z_0-9]+)["']\]|\.get\(["']([a-zA-Z_0-9]+)["'])"""
+    )
+    for m in flat.finditer(text):
+        used.add(m.group(1) or m.group(2))
+    for m in nested.finditer(text):
+        used.add(f"{m.group(1)}.{m.group(2) or m.group(3)}")
+    # the generator block is consumed through a local binding
+    # (gen_meta = dict(metadata["generator"]) in trainer/inference)
+    gen_local = re.compile(
+        r"""\bgen_meta(?:\[["']([a-zA-Z_0-9]+)["']\]|\.get\(["']([a-zA-Z_0-9]+)["'])"""
+    )
+    for m in gen_local.finditer(text):
+        used.add(f"generator.{m.group(1) or m.group(2)}")
+    # RenderConfig picks fields from metadata by name
+    used |= {f.name for f in dataclasses.fields(RenderConfig)}
+    # every key shipped in a preset
+    blocks = ("generator", "unet", "dataset", "fid")
+
+    def collect(d):
+        for k, v in d.items():
+            if isinstance(k, int):
+                collect(v)
+            elif k in blocks and isinstance(v, dict):
+                used.add(k)
+                used.update(f"{k}.{kk}" for kk in v)
+            else:
+                used.add(k)
+
+    for base_name in ("thousand", "smoke", "carla"):
+        if base_name == "carla":
+            from conditioned_nerf_gan_tpu.config.presets.carla import CARLA
+
+            collect(copy.deepcopy(CARLA))
+            continue
+        base = get_config_base(base_name)
+        for name in dir(base):
+            val = getattr(base, name)
+            if isinstance(val, dict) and not name.startswith("_"):
+                collect(copy.deepcopy(val))
+
+    # nested-block names themselves and intermediate keys are fine; a
+    # handful of regex hits are not curriculum keys (dict literals in
+    # unrelated modules that happen to bind a var named meta)
+    not_curriculum = {
+        "loader_state",  # checkpoint history key read via histories.get
+    }
+    used -= not_curriculum
+
+    undocumented = sorted(k for k in used if k not in CURRICULUM_KEY_DOCS)
+    assert not undocumented, (
+        f"curriculum keys consumed or shipped but not documented in "
+        f"CURRICULUM_KEY_DOCS: {undocumented}"
+    )
+    stale = sorted(k for k in CURRICULUM_KEY_DOCS if k not in used)
+    assert not stale, (
+        f"CURRICULUM_KEY_DOCS documents keys no longer consumed or shipped: "
+        f"{stale}"
+    )
+
+    # field names of the config dataclasses that mirror metadata keys must
+    # keep their docs in sync too (a renamed field would show above)
+    tsc_fields = {f.name for f in dataclasses.fields(TrainStepConfig)}
+    assert "render" in tsc_fields  # sanity: the dataclass shape is intact

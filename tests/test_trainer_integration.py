@@ -285,7 +285,7 @@ def test_resume_continuity_across_stage_boundary(train_env, monkeypatch):
         out.mkdir(exist_ok=True)
         curriculum_to_json(curriculum, out / "curriculum.json")
         trainer = Trainer(_args(out, stop_step=stop_step, eval_freq=4,
-                                sampling_interval=10_000))
+                                sampling_interval=7))
         trainer.load_models()
         trainer.train()
         return trainer
@@ -313,6 +313,20 @@ def test_resume_continuity_across_stage_boundary(train_env, monkeypatch):
         )
     # the schedule state also re-derived across the boundary
     assert t_b.step_config.render.img_size == stage1["img_size"]
+
+    # sample-grid selection is resume-invariant: the grid dumped after the
+    # resume point (step 6, sampling_interval 7) is byte-identical to the
+    # uninterrupted run's — indices come from a (seed, step)-pure host rng,
+    # not a global stream whose position a resume would reset (r3 weak #5)
+    for view in ("trainview", "valview", "testview"):
+        pngs_a = {p.name: p for p in (root / "resume_a" / "samples" / view).glob("*.png")}
+        pngs_b = {p.name: p for p in (out_b / "samples" / view).glob("*.png")}
+        common = sorted(set(pngs_a) & set(pngs_b))
+        assert common, f"no overlapping sample grids in {view}"
+        for name in common:
+            assert pngs_a[name].read_bytes() == pngs_b[name].read_bytes(), (
+                f"{view}/{name} differs between uninterrupted and resumed run"
+            )
 
 
 def test_eval_render_is_single_device_on_mesh(train_env, monkeypatch):

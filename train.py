@@ -113,6 +113,17 @@ def main(argv=None):
         if args.config_base == "thousand":
             args.config_base = "smoke"
 
+    # seed the host RNGs per process (reference train.py:71-72): everything
+    # device-side already flows from PRNGKey(seed); this pins the host-side
+    # consumers (dataset shuffles already take seed= explicitly, this covers
+    # any library-level random/np.random use)
+    import random
+
+    import numpy as np
+
+    random.seed(args.seed + jax.process_index())
+    np.random.seed(args.seed + jax.process_index())
+
     from conditioned_nerf_gan_tpu.training import Trainer
 
     print(f"Devices: {jax.devices()}")
