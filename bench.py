@@ -111,6 +111,91 @@ def measure_tpu() -> float:
     return BATCH * IMG_SIZE * IMG_SIZE * iters / best
 
 
+def measure_train_step(stage: int = 2, steps: int = 4, trials: int = 3) -> float:
+    """Full-GAN train-step seconds at a thousand-curriculum stage.
+
+    Same fori-loop protocol as scripts/bench_train_step.py (the TrainState is
+    the data dependence; big arrays are jit ARGUMENTS — the remote compile
+    helper rejects large closure constants). Captured in the driver artifact
+    so regressions in the backward/kernel path are visible, not just the
+    eval render (r3 verdict item 3; SURVEY §3.1 hot path).
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from conditioned_nerf_gan_tpu.config import extract_metadata, load_curriculum
+    from conditioned_nerf_gan_tpu.models import (
+        ImplicitGenerator3d,
+        ResnetPointnet,
+        make_discriminator,
+    )
+    from conditioned_nerf_gan_tpu.training import (
+        TrainStepConfig,
+        create_train_state,
+        make_train_step,
+    )
+    from conditioned_nerf_gan_tpu.training.schedules import nerf_noise_schedule
+
+    cur = load_curriculum(config_base="thousand")
+    step_at = sorted(k for k in cur if isinstance(k, int))[stage]
+    meta = extract_metadata(cur, step_at)
+    import dataclasses
+
+    cfg = TrainStepConfig.from_metadata(meta)
+    cfg = dataclasses.replace(cfg, render=dataclasses.replace(
+        cfg.render, density_noise=float(nerf_noise_schedule(step_at)) > 0.0
+    ))
+    dtype_name = meta.get("compute_dtype")
+    compute_dtype = jnp.dtype(dtype_name) if dtype_name else None
+    gm = meta["generator"]
+    gen = ImplicitGenerator3d(
+        siren_type=gm["siren_type"], z_dim=gm["z_dim"],
+        hidden_dim=gm.get("hidden_dim", 256), compute_dtype=compute_dtype,
+        use_fast_sin=meta.get("use_fast_sin", False),
+        use_pallas=meta.get("use_pallas", False),
+    )
+    enc = ResnetPointnet(c_dim=gm["z_dim"], dtype=compute_dtype)
+    disc = make_discriminator(meta["discriminator"], dtype=compute_dtype)
+
+    B, img = meta["batch_size"], meta["img_size"]
+    n_pts = max(1, int(65536 * meta.get("num_points_ratio", 1.0)))
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": rng.uniform(-1, 1, (B, img, img, 3)).astype(np.float32),
+        "cam2world": np.broadcast_to(
+            np.eye(4, dtype=np.float32), (B, 4, 4)).copy(),
+        "pcl": rng.uniform(-0.4, 0.4, (B, n_pts, 6)).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(lambda k, b: create_train_state(k, gen, enc, disc, b, cfg))(
+        key, batch
+    )
+    jax.block_until_ready(state.params_G)
+    train_step = make_train_step(gen, enc, disc, cfg)
+
+    def run_n(state, batch, key):
+        def body(i, carry):
+            st, acc = carry
+            st, metrics = train_step(
+                st, batch, jax.random.fold_in(key, i),
+                jnp.float32(0.5), jnp.float32(0.0),
+            )
+            return st, acc + metrics["photo_loss"]
+        _, acc = jax.lax.fori_loop(0, steps, body, (state, jnp.zeros(())))
+        return acc
+
+    run = jax.jit(run_n)
+    float(run(state, batch, key))  # compile + warm
+    best = float("inf")
+    for t in range(trials):
+        t0 = time.perf_counter()
+        float(run(state, batch, jax.random.fold_in(key, 100 + t)))
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best
+
+
 def measure_torch_baseline() -> float | None:
     """Reference PyTorch render on CPU (the only hardware both share)."""
     import sys
@@ -171,6 +256,14 @@ def _fail_fast_if_tunnel_down() -> None:
 def main() -> None:
     _fail_fast_if_tunnel_down()
     value = measure_tpu()
+    # serialized AFTER the render measurement — concurrent tunnel jobs
+    # distort each other 20-40% (CLAUDE.md perf notes)
+    try:
+        train_sec = measure_train_step()
+    except Exception as exc:  # the render metric must survive a train bench failure
+        print(f"bench.py: train-step measurement failed: {exc!r}",
+              file=__import__("sys").stderr)
+        train_sec = None
 
     if BASELINE_CACHE.exists():
         baseline = json.loads(BASELINE_CACHE.read_text())
@@ -204,6 +297,11 @@ def main() -> None:
     }
     if peak:
         result["mfu"] = round(achieved / peak, 4)
+    if train_sec is not None:
+        # second metric in the same line: full-GAN stage-2 step (128²,
+        # batch 12, hierarchical, D + R1) — regression tripwire for the
+        # backward/kernel path (r3: 0.696 s/step on v5e-1)
+        result["train_step_sec_stage2"] = round(train_sec, 4)
     print(json.dumps(result))
 
 

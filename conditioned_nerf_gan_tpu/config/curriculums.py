@@ -11,6 +11,10 @@ globals. `extract_metadata(curriculum, step)` resolves the highest milestone
 recursive deep-merge, and the resolved curriculum JSON round-trips with
 integer keys restored (reference utils.py:39-50).
 
+Every curriculum key is documented in `CURRICULUM_KEY_DOCS` below (the
+reference's 75-line docstring, configs/curriculums.py:5-79, as a registry the
+tests can diff against actual consumption).
+
 Deliberately resolved reference inconsistencies (SURVEY.md §2.3):
   * the default config base is the runnable "thousand" package (the reference
     CLI defaulted to a nonexistent `configs.thesis`);

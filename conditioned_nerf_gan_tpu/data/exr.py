@@ -173,3 +173,143 @@ def read_exr_depth(path: str | Path, img_size: int | None = None) -> np.ndarray:
     # into the depth loss — latent there (it never upscales), fixed here.
     depth[~np.isfinite(depth)] = 0
     return depth
+
+
+# ---------------------------------------------------------------------------
+# Writer (the decoder's inverse): produce the same subset Blender's depth
+# passes use — single-part scanline, HALF/FLOAT channels, NONE/RLE. Used by
+# the exporter-fixture pipeline (tools/blender stand-in) and round-trip tests.
+# ---------------------------------------------------------------------------
+
+_COMPRESSION_IDS = {"none": 0, "rle": 1}
+
+
+def _predict_and_deinterleave(data: bytes) -> bytes:
+    """Forward transform of _unpredict_and_interleave: split bytes into the
+    two half-planes, then delta-encode (d[i] = x[i] - x[i-1] + 128)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    half = (len(arr) + 1) // 2
+    planes = np.concatenate([arr[0::2], arr[1::2]])
+    deltas = planes.astype(np.int64)
+    deltas[1:] = deltas[1:] - planes[:-1].astype(np.int64) + 128
+    return (deltas % 256).astype(np.uint8).tobytes()
+
+
+def _rle_compress(data: bytes) -> bytes:
+    """OpenEXR RLE scheme (see _rle_decompress): repeat runs as
+    (count-1, byte) with count <= 128, literal runs as (256-len, bytes)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            while lit_start < i:  # flush pending literals
+                chunk = min(127, i - lit_start)
+                out.append(256 - chunk)
+                out += data[lit_start : lit_start + chunk]
+                lit_start += chunk
+            out.append(run - 1)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    while lit_start < i:
+        chunk = min(127, i - lit_start)
+        out.append(256 - chunk)
+        out += data[lit_start : lit_start + chunk]
+        lit_start += chunk
+    return bytes(out)
+
+
+def _attr(name: str, attr_type: str, payload: bytes) -> bytes:
+    return (
+        name.encode("latin-1") + b"\0" + attr_type.encode("latin-1") + b"\0"
+        + struct.pack("<i", len(payload)) + payload
+    )
+
+
+def write_exr(path: str | Path, channels: dict[str, np.ndarray],
+              compression: str = "rle") -> None:
+    """Write a single-part scanline EXR (channels: {name: (H, W) array};
+    float32 arrays become FLOAT channels, float16 become HALF)."""
+    comp_id = _COMPRESSION_IDS[compression]
+    names = sorted(channels)  # EXR stores channels alphabetically
+    arrays = {}
+    ptypes = {}
+    height = width = None
+    for name in names:
+        arr = np.asarray(channels[name])
+        if arr.ndim != 2:
+            raise ValueError(f"channel {name!r} must be 2-D, got {arr.shape}")
+        if height is None:
+            height, width = arr.shape
+        elif arr.shape != (height, width):
+            raise ValueError("all channels must share one shape")
+        if arr.dtype == np.float16:
+            ptypes[name] = 1
+        else:
+            arr = arr.astype(np.float32)
+            ptypes[name] = 2
+        arrays[name] = arr
+
+    chan_payload = bytearray()
+    for name in names:
+        chan_payload += name.encode("latin-1") + b"\0"
+        chan_payload += struct.pack("<i", ptypes[name])
+        chan_payload += struct.pack("<BBBB", 0, 0, 0, 0)  # pLinear + reserved
+        chan_payload += struct.pack("<ii", 1, 1)  # x/y sampling
+    chan_payload += b"\0"
+
+    box = struct.pack("<4i", 0, 0, width - 1, height - 1)
+    header = bytearray()
+    header += struct.pack("<ii", _MAGIC, 2)
+    header += _attr("channels", "chlist", bytes(chan_payload))
+    header += _attr("compression", "compression", bytes([comp_id]))
+    header += _attr("dataWindow", "box2i", box)
+    header += _attr("displayWindow", "box2i", box)
+    header += _attr("lineOrder", "lineOrder", b"\0")  # increasing Y
+    header += _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += _attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
+    header += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += b"\0"  # end of header
+
+    chunks = []
+    for y in range(height):  # NONE and RLE are 1 scanline per chunk
+        raw = b"".join(arrays[name][y].tobytes() for name in names)
+        if comp_id == 1:
+            packed = _rle_compress(_predict_and_deinterleave(raw))
+            data = packed if len(packed) < len(raw) else raw
+        else:
+            data = raw
+        chunks.append(struct.pack("<ii", y, len(data)) + data)
+
+    offset_table_pos = len(header)
+    data_pos = offset_table_pos + 8 * height
+    offsets = []
+    for chunk in chunks:
+        offsets.append(data_pos)
+        data_pos += len(chunk)
+
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(struct.pack(f"<{height}Q", *offsets))
+        for chunk in chunks:
+            f.write(chunk)
+
+
+def write_exr_depth(path: str | Path, depth: np.ndarray,
+                    compression: str = "rle", dtype=np.float16) -> None:
+    """Write a depth map with the Blender-pipeline background convention:
+    non-finite (background) pixels become the half-float max 65504, which
+    read_exr_depth maps back to inf→0 (reference datasets.py:205-215).
+
+    HALF channel by default — the 65504 background sentinel is the half max,
+    i.e. the reference pipeline's depth passes were half-precision (and the
+    constant background gives the RLE scheme actual runs to compress)."""
+    depth = np.asarray(depth, dtype=np.float32).copy()
+    depth[~np.isfinite(depth)] = 65504.0
+    write_exr(path, {"R": depth.astype(dtype)}, compression=compression)

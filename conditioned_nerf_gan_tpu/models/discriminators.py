@@ -395,7 +395,11 @@ class ProgressiveDiscriminatorProjection(_ProgressiveBase):
         if cond is None:
             raise ValueError("projection discriminator requires a conditioning image")
         x = self._trunk(img, alpha)
-        x = x.reshape(x.shape[0], -1).astype(jnp.float32)  # (B, 1600)
+        # flatten in the reference's NCHW order (discriminators.py:401):
+        # the ResNet fc's 1600 outputs are dotted index-for-index against the
+        # trunk features, so checkpoint/port parity needs the same ordering
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+        x = x.astype(jnp.float32)  # (B, 1600)
         cmap = ResNet18(num_outputs=1600, dtype=self.dtype,
                         name="mapping")(cond)
         cmap = cmap / jnp.maximum(

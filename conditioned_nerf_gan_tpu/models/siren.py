@@ -72,7 +72,15 @@ def sample_volume_features(points: jax.Array, volume: jax.Array) -> jax.Array:
 
 
 def sample_pyramid_features(points: jax.Array, pyramid) -> jax.Array:
-    """Concat trilinear features over pyramid levels (reference siren.py:1444-1473)."""
+    """Concat trilinear features over pyramid levels (reference siren.py:1444-1473).
+
+    Accepts a single volume too (the reference's list-or-not branch at
+    :1453-1454), so any features-input variant can consume a PyramidUNet3D
+    encoder — the doublesiren_dis_featurepyramid experiment wires
+    DOUBLESIREN (input_dim 224 = 128+64+32 pyramid concat) to the pyramid
+    encoder (reference configs/thousand/direct_volume/dg.py:77-80; its stale
+    class name never ran post-rename upstream, resolved here per SURVEY §2.3).
+    """
     if not isinstance(pyramid, (list, tuple)):
         pyramid = [pyramid]
     feats = [sample_volume_features(points, level) for level in pyramid]
@@ -167,12 +175,15 @@ class ConditionedSiren(nn.Module):
                 global_feature = z
 
         # ---- first-layer input -----------------------------------------
+        # sample_pyramid_features degrades to a plain volume lookup for
+        # non-list feature_volume, so every features-input variant also
+        # composes with the PyramidUNet3D encoder (see its docstring)
         if spec.input == "points":
             x = points
         elif spec.input == "features":
-            x = sample_volume_features(points, feature_volume)
+            x = sample_pyramid_features(points, feature_volume)
         elif spec.input == "features_points":
-            feats = sample_volume_features(points, feature_volume)
+            feats = sample_pyramid_features(points, feature_volume)
             x = jnp.concatenate([feats, points], axis=-1)
         elif spec.input == "pyramid":
             x = sample_pyramid_features(points, pyramid)

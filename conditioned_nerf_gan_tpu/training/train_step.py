@@ -211,10 +211,11 @@ def create_train_state(
             lambda p, v: encoder.apply(p, v), params_E,
             jnp.asarray(sample_batch["voxel"]),
         )
-        if isinstance(enc_out, (tuple, list)):
-            z = tuple(jnp.zeros(o.shape, o.dtype) for o in enc_out)
-        else:
-            z = jnp.zeros(enc_out.shape, enc_out.dtype)
+        # tree-map, not a flat loop: PyramidUNet3D returns
+        # ([level0, level1, ...], global) — the pyramid list nests
+        z = jax.tree.map(lambda o: jnp.zeros(o.shape, o.dtype), enc_out)
+        if isinstance(z, list):
+            z = tuple(z)
 
     params_G = generator.init(k_g, z, cams, config.render)
     tx_G, tx_E, tx_D = _make_txs(config)

@@ -447,3 +447,70 @@ def test_fid_value_end_to_end_matches_torch(tmp_path, monkeypatch):
 
     assert fid_torch > 1.0  # the two dirs genuinely differ
     np.testing.assert_allclose(fid_repo, fid_torch, rtol=2e-2)
+
+
+def test_calibration_runbook_end_to_end(tmp_path, monkeypatch):
+    """The full operator flow for the day real checkpoints become reachable
+    (r3 verdict item 8): torch state_dict FILES on disk → the
+    port_metric_weights CLI → env vars → metrics_calibrated() flipping →
+    strict-loading nets → an UNSTAMPED fid.txt. Every step is the real
+    code path, so the first real conversion is mechanical."""
+    from conditioned_nerf_gan_tpu.eval.fid_evaluation import append_fid_line
+    from conditioned_nerf_gan_tpu.eval.inception import get_inception
+    from conditioned_nerf_gan_tpu.eval.lpips import get_lpips
+    from conditioned_nerf_gan_tpu.eval.weights import (
+        RANDOM_INIT_STAMP_PREFIX,
+        metrics_calibrated,
+    )
+    from conditioned_nerf_gan_tpu.tools.port_metric_weights import main as port_cli
+
+    # 1. the operator has torch checkpoints on disk
+    torch.manual_seed(7)
+    inception_pth = tmp_path / "pt_inception.pth"
+    lpips_pth = tmp_path / "lpips_alex.pth"
+    torch.save(TFIDInceptionV3().eval().state_dict(), inception_pth)
+    torch.save(TLPIPSAlex().eval().state_dict(), lpips_pth)
+
+    # 2. starting state: uncalibrated, appends get stamped
+    monkeypatch.delenv("CNG_INCEPTION_WEIGHTS", raising=False)
+    monkeypatch.delenv("CNG_LPIPS_WEIGHTS", raising=False)
+    assert not metrics_calibrated()
+    stamped_log = tmp_path / "fid_uncal.txt"
+    append_fid_line(stamped_log, 0, 1.0, 2.0, 0.3, 20.0)
+    assert stamped_log.read_text().startswith(RANDOM_INIT_STAMP_PREFIX)
+
+    # 3. the documented conversion commands (CLI entry point, real argv)
+    inception_npz = tmp_path / "inception.npz"
+    lpips_npz = tmp_path / "lpips.npz"
+    assert port_cli(["inception", str(inception_pth), str(inception_npz)]) == 0
+    assert port_cli(["lpips", str(lpips_pth), str(lpips_npz)]) == 0
+
+    # 4. export the env vars → calibration flips
+    monkeypatch.setenv("CNG_INCEPTION_WEIGHTS", str(inception_npz))
+    monkeypatch.setenv("CNG_LPIPS_WEIGHTS", str(lpips_npz))
+    assert metrics_calibrated()
+
+    # 5. the nets strict-load the ported files (no missing keys, no shape
+    # mismatches, no random-init warning)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        get_inception()
+        get_lpips()
+    random_init = [w for w in caught if "RANDOM weights" in str(w.message)]
+    assert not random_init, "nets warned random-init despite ported weights"
+
+    # 6. metric logs written after calibration carry no stamp
+    clean_log = tmp_path / "fid_cal.txt"
+    append_fid_line(clean_log, 0, 1.0, 2.0, 0.3, 20.0)
+    content = clean_log.read_text()
+    assert RANDOM_INIT_STAMP_PREFIX not in content
+    assert content.strip().startswith("0 "), content
+
+    # 7. a calibrated run resuming WITHOUT the env vars re-stamps (requeue
+    # safety — eval/weights.py append-case)
+    monkeypatch.delenv("CNG_LPIPS_WEIGHTS")
+    assert not metrics_calibrated()
+    append_fid_line(clean_log, 1, 1.0, 2.0, 0.3, 20.0)
+    assert RANDOM_INIT_STAMP_PREFIX in clean_log.read_text()

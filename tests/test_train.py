@@ -597,3 +597,87 @@ def test_trainer_resume_survives_optimizer_chain_change(tmp_path, monkeypatch):
     trainer2.args.stop_step = 4
     trainer2.train()
     assert all(np.isfinite(trainer2.histories["photometry_losses"]))
+
+
+def test_every_experiment_dict_traces():
+    """EVERY exported thousand experiment dict traces through
+    create_train_state + one train step under jax.eval_shape (abstract
+    values, no compile): both r4 pyramid-composition bugs were TRACE-time
+    failures, so this catches wiring breaks across the whole preset registry
+    in seconds, while test_preset_family_steps executes one real step per
+    family."""
+    import numpy as np
+
+    import conditioned_nerf_gan_tpu.config.presets.thousand as thousand
+    from conditioned_nerf_gan_tpu.config import extract_metadata, load_curriculum
+    from conditioned_nerf_gan_tpu.config.presets import resolve_siren_alias
+    from conditioned_nerf_gan_tpu.models import (
+        ImplicitGenerator3d,
+        ResnetPointnet,
+        make_discriminator,
+        make_unet,
+    )
+    from conditioned_nerf_gan_tpu.training import (
+        TrainStepConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    names = sorted(
+        n for n in dir(thousand)
+        if isinstance(getattr(thousand, n), dict)
+        and not n.startswith("_") and n not in ("default", "special")
+    )
+    assert len(names) >= 25, names  # the full exported registry
+
+    failures = {}
+    for name in names:
+        cur = load_curriculum(config_base="thousand", config=name)
+        meta = extract_metadata(cur, 0)
+        # toy shapes, shipped semantics
+        meta.update(batch_size=2, batch_split=1, img_size=16, num_steps=4)
+        meta.pop("ray_chunks", None)
+        meta["voxel_resolution"] = 16
+        cfg = TrainStepConfig.from_metadata(meta)
+
+        gm = meta["generator"]
+        gen = ImplicitGenerator3d(
+            siren_type=resolve_siren_alias(gm["siren_type"]),
+            z_dim=gm["z_dim"], input_dim=gm.get("input_dim", 3),
+            output_dim=gm.get("output_dim", 4),
+            hidden_dim=gm.get("hidden_dim", 256),
+        )
+        if meta["dataset"].get("load_voxel"):
+            enc = make_unet(**meta["unet"])
+        else:
+            enc = ResnetPointnet(c_dim=gm["z_dim"])
+        disc = (make_discriminator(meta["discriminator"])
+                if meta["enable_discriminator"] else None)
+
+        B, img = 2, 16
+        batch = {
+            "img": np.zeros((B, img, img, 3), np.float32),
+            "cam2world": np.broadcast_to(
+                np.eye(4, dtype=np.float32), (B, 4, 4)).copy(),
+        }
+        if meta["dataset"].get("load_voxel"):
+            batch["voxel"] = np.zeros((B, 16, 16, 16, 4), np.float32)
+        else:
+            batch["pcl"] = np.zeros((B, 64, 6), np.float32)
+        if cfg.cond_mode:
+            batch["cond"] = np.zeros((B, img, img, 3), np.float32)
+
+        try:
+            key = jax.random.PRNGKey(0)
+            state = jax.eval_shape(
+                lambda k, b, g=gen, e=enc, d=disc, c=cfg:
+                    create_train_state(k, g, e, d, b, c),
+                key, batch,
+            )
+            step = make_train_step(gen, enc, disc, cfg)
+            jax.eval_shape(
+                step, state, batch, key, jnp.float32(0.5), jnp.float32(0.1)
+            )
+        except Exception as exc:  # collect all breaks, not just the first
+            failures[name] = repr(exc)[:200]
+    assert not failures, f"experiment dicts fail to trace: {failures}"

@@ -444,3 +444,77 @@ def test_stage_trim_to_single_device_replaces_state(train_env, monkeypatch):
         np.float32(trainer.alpha), np.float32(trainer.nerf_noise),
     )
     assert np.isfinite(float(metrics["photo_loss"]))
+
+
+# each entry: one representative of an experiment family that had never
+# stepped before r4 (r3 verdict item 2). The SHIPPED dicts are composed via
+# the real overlay chain; only scale knobs (batch/img/steps/resolution/path)
+# are shrunk afterwards — siren/unet/discriminator types, input dims,
+# cond_mode, and loss flags are exactly the preset's.
+UNTESTED_PRESET_FAMILIES = [
+    "proj_random",                     # ProgressiveDiscriminator_projection (ResNet18)
+    "cond_nearest",                    # inputCat D + nearest cond view
+    "indirect_dis",                    # TALLSIREN (per-point mapping) + D
+    "dRes",                            # no-FiLM residual siren, no global feat
+    "doublesiren_dis_featurepyramid",  # PyramidUNet3D + DOUBLESIREN pyramid input
+    "chair_doublesiren_dis",           # chair family (DoubleSIREN + UNet3D)
+]
+
+
+@pytest.mark.parametrize("config", UNTESTED_PRESET_FAMILIES)
+def test_preset_family_steps(train_env, monkeypatch, config):
+    """Every shipped experiment dict compiles and steps: compose the real
+    thousand overlay for `config`, shrink only scale knobs, run one Trainer
+    step on the synthetic fixture, and require finite losses."""
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+
+    from conditioned_nerf_gan_tpu.config import (
+        curriculum_to_json,
+        extract_metadata,
+        load_curriculum,
+    )
+    from conditioned_nerf_gan_tpu.training import Trainer
+
+    curriculum = load_curriculum(config_base="thousand", config=config)
+    # shrink scale only: drop later milestones, toy stage-0 shapes
+    for k in [k for k in curriculum if isinstance(k, int) and k > 0]:
+        curriculum.pop(k)
+    curriculum[0].update(
+        batch_size=2, batch_split=1, img_size=16, num_steps=6,
+        num_points_ratio=0.125, voxel_resolution=32,
+    )
+    curriculum[0].pop("ray_chunks", None)
+    curriculum["voxel_resolution"] = 32
+    curriculum["dataset"]["path"] = str(ds_root)
+    curriculum["dataset"]["voxel_resolution"] = 32
+    curriculum["sample_img_size"] = 16
+    curriculum["sample_num_steps"] = 6
+    # the shipped dict's semantics under test must survive the shrink
+    meta = extract_metadata(curriculum, 0)
+    shipped = extract_metadata(
+        load_curriculum(config_base="thousand", config=config), 0
+    )
+    for key in ("generator", "unet", "discriminator", "enable_discriminator",
+                "photo_loss", "random_gen_img"):
+        if key in shipped:
+            assert meta[key] == shipped[key], key
+
+    out = root / f"preset_{config}"
+    out.mkdir(exist_ok=True)
+    curriculum_to_json(curriculum, out / "curriculum.json")
+    trainer = Trainer(_args(out, stop_step=1, eval_freq=10_000,
+                            sampling_interval=10_000, config_base="thousand"))
+    trainer.load_models()
+    trainer.train()
+    trainer._flush_metrics()
+
+    assert trainer.step >= 1
+    for key, vals in trainer.histories.items():
+        if isinstance(vals, list) and vals and isinstance(vals[0], float):
+            assert all(np.isfinite(vals)), f"{config}: non-finite {key}"
+    if meta["enable_discriminator"]:
+        assert trainer.histories["discriminator_losses"], config
+        assert trainer.histories["generator_losses"], config
+    if meta.get("photo_loss"):
+        assert trainer.histories["photometry_losses"], config
