@@ -200,3 +200,41 @@ def test_inferencer_save_voxel_mrc(smoke_ckpt):
     assert vol.size == res ** 3 and np.isfinite(vol).all()
     # sigma varies over space (a constant grid would mean a dead eval path)
     assert vol.std() > 0
+
+
+@pytest.mark.slow
+def test_geoloss_replay(smoke_ckpt):
+    """tools.geoloss evaluates the legacy geometry loss from a checkpoint
+    (reference misc/geoloss_plot.py): surface-positive vs KD-tree-filtered
+    negative sigma through the SIREN eval_points path."""
+    from conditioned_nerf_gan_tpu.tools.geoloss import replay_geometry_loss
+
+    ckpt, _ = smoke_ckpt
+    loss = replay_geometry_loss(ckpt, car_index=0, n_points=64)
+    # softplus-based: strictly positive and finite for any real params
+    assert np.isfinite(loss) and loss > 0
+
+
+@pytest.mark.slow
+def test_latent_diagnostics(smoke_ckpt, tmp_path):
+    """tools.latents: dataset-latent encoding, nearest-z search (reference
+    misc/find_closest_z.py), and the t-SNE plot (misc/tsne.py)."""
+    from conditioned_nerf_gan_tpu.tools.latents import (
+        encode_dataset_latents,
+        find_closest_z,
+        tsne_plot,
+    )
+
+    ckpt, ds_root = smoke_ckpt
+    zs, labels = encode_dataset_latents(ckpt, max_items=3)
+    assert zs.shape[0] == len(labels) == 3  # one val view per car
+    assert np.isfinite(zs).all() and zs.ndim == 2
+
+    ranked = find_closest_z(ckpt, query_index=0, max_items=3)
+    # the query's own latent is its nearest neighbor at distance 0
+    assert ranked[0][0] == labels[0]
+    assert ranked[0][1] == pytest.approx(0.0, abs=1e-5)
+    assert ranked[0][1] <= ranked[1][1] <= ranked[-1][1]
+
+    out = tsne_plot(ckpt, tmp_path / "tsne.png", max_items=3)
+    assert out.exists() and out.stat().st_size > 0

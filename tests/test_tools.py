@@ -303,3 +303,81 @@ def test_prepare_data_excludes_failed_cars(tmp_path):
     listed = (root.parent / "twenty.lst").read_text().split()
     assert bad.name not in listed
     assert len(listed) == 2
+
+
+def test_video_grid_composition(tmp_path):
+    """video_grid tiles N videos into an ncols grid, shortest-clip length
+    (reference misc/video_grid.py)."""
+    import cv2
+
+    from conditioned_nerf_gan_tpu.tools.video_grid import video_grid
+
+    h = w = 16
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    n_frames = [4, 3, 5]  # min = 3 governs the output length
+    paths = []
+    for i, (color, nf) in enumerate(zip(colors, n_frames)):
+        p = tmp_path / f"clip{i}.mp4"
+        vw = cv2.VideoWriter(str(p), cv2.VideoWriter_fourcc(*"mp4v"), 4, (w, h))
+        frame = np.zeros((h, w, 3), np.uint8)
+        frame[:] = color
+        for _ in range(nf):
+            vw.write(frame)
+        vw.release()
+        paths.append(p)
+
+    out = video_grid(paths, tmp_path / "grid.mp4", ncols=2)
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 2 * w
+    assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 2 * h
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    cap.release()
+    assert len(frames) == min(n_frames)
+    f0 = frames[0].astype(np.int32)
+    # clip i lands at (row, col) = divmod(i, ncols); lossy codec → loose check
+    for i, color in enumerate(colors):
+        r, c = divmod(i, 2)
+        cell = f0[r * h:(r + 1) * h, c * w:(c + 1) * w]
+        assert np.argmax(cell.mean(axis=(0, 1))) == int(np.argmax(color))
+    # the empty 4th cell stays black
+    assert f0[h:, w:].mean() < 20
+
+
+def test_submit_slurm_sbatch_and_snapshot(tmp_path):
+    """write_sbatch snapshots the source (version.sh) and emits a requeueable
+    script that trains from the snapshot (reference submitSlurmjob.py:20-157)."""
+    from conditioned_nerf_gan_tpu.tools.submit_slurm import main, write_sbatch
+
+    repo = tmp_path / "repo"
+    (repo / "conditioned_nerf_gan_tpu").mkdir(parents=True)
+    (repo / "conditioned_nerf_gan_tpu" / "__init__.py").write_text("# pkg\n")
+    (repo / "train.py").write_text("print('train')\n")
+
+    out = tmp_path / "run"
+    sbatch = write_sbatch(out, name="smoke", time_limit="01:00:00",
+                          train_args="--config dg_dis", repo_dir=repo)
+    text = sbatch.read_text()
+    assert "#SBATCH --requeue" in text          # idempotent-resume contract
+    assert "--job-name=smoke" in text
+    assert f"-o {out}" in text and "--config dg_dis" in text
+    assert (out / "logs").is_dir()
+
+    # the snapshot is a self-contained copy of the submitted code
+    snapshot_dirs = [p for p in out.iterdir()
+                     if p.is_dir() and p.name.startswith("source_")]
+    assert len(snapshot_dirs) == 1
+    snap = snapshot_dirs[0]
+    assert f"cd {snap}" in text
+    assert (snap / "train.py").read_text() == "print('train')\n"
+    assert (snap / "conditioned_nerf_gan_tpu" / "__init__.py").exists()
+    assert list(out.glob("source_*.tar.gz"))
+
+    # CLI --dry_run writes without invoking sbatch
+    out2 = tmp_path / "run2"
+    main(["-o", str(out2), "--dry_run"])
+    assert (out2 / "submit.sbatch").exists()
