@@ -120,54 +120,13 @@ def measure_train_step(stage: int = 2, steps: int = 4, trials: int = 3) -> float
     so regressions in the backward/kernel path are visible, not just the
     eval render (r3 verdict item 3; SURVEY §3.1 hot path).
     """
-    import numpy as np
-
     import jax
     import jax.numpy as jnp
 
-    from conditioned_nerf_gan_tpu.config import extract_metadata, load_curriculum
-    from conditioned_nerf_gan_tpu.models import (
-        ImplicitGenerator3d,
-        ResnetPointnet,
-        make_discriminator,
-    )
-    from conditioned_nerf_gan_tpu.training import (
-        TrainStepConfig,
-        create_train_state,
-        make_train_step,
-    )
-    from conditioned_nerf_gan_tpu.training.schedules import nerf_noise_schedule
+    from conditioned_nerf_gan_tpu.training import create_train_state, make_train_step
+    from conditioned_nerf_gan_tpu.utils.bench_setup import build_stage_bench
 
-    cur = load_curriculum(config_base="thousand")
-    step_at = sorted(k for k in cur if isinstance(k, int))[stage]
-    meta = extract_metadata(cur, step_at)
-    import dataclasses
-
-    cfg = TrainStepConfig.from_metadata(meta)
-    cfg = dataclasses.replace(cfg, render=dataclasses.replace(
-        cfg.render, density_noise=float(nerf_noise_schedule(step_at)) > 0.0
-    ))
-    dtype_name = meta.get("compute_dtype")
-    compute_dtype = jnp.dtype(dtype_name) if dtype_name else None
-    gm = meta["generator"]
-    gen = ImplicitGenerator3d(
-        siren_type=gm["siren_type"], z_dim=gm["z_dim"],
-        hidden_dim=gm.get("hidden_dim", 256), compute_dtype=compute_dtype,
-        use_fast_sin=meta.get("use_fast_sin", False),
-        use_pallas=meta.get("use_pallas", False),
-    )
-    enc = ResnetPointnet(c_dim=gm["z_dim"], dtype=compute_dtype)
-    disc = make_discriminator(meta["discriminator"], dtype=compute_dtype)
-
-    B, img = meta["batch_size"], meta["img_size"]
-    n_pts = max(1, int(65536 * meta.get("num_points_ratio", 1.0)))
-    rng = np.random.default_rng(0)
-    batch = {
-        "img": rng.uniform(-1, 1, (B, img, img, 3)).astype(np.float32),
-        "cam2world": np.broadcast_to(
-            np.eye(4, dtype=np.float32), (B, 4, 4)).copy(),
-        "pcl": rng.uniform(-0.4, 0.4, (B, n_pts, 6)).astype(np.float32),
-    }
+    gen, enc, disc, cfg, batch, _meta = build_stage_bench(stage=stage)
     key = jax.random.PRNGKey(0)
     state = jax.jit(lambda k, b: create_train_state(k, gen, enc, disc, b, cfg))(
         key, batch

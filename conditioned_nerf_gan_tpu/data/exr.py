@@ -188,7 +188,6 @@ def _predict_and_deinterleave(data: bytes) -> bytes:
     """Forward transform of _unpredict_and_interleave: split bytes into the
     two half-planes, then delta-encode (d[i] = x[i] - x[i-1] + 128)."""
     arr = np.frombuffer(data, dtype=np.uint8)
-    half = (len(arr) + 1) // 2
     planes = np.concatenate([arr[0::2], arr[1::2]])
     deltas = planes.astype(np.int64)
     deltas[1:] = deltas[1:] - planes[:-1].astype(np.int64) + 128
@@ -312,4 +311,11 @@ def write_exr_depth(path: str | Path, depth: np.ndarray,
     constant background gives the RLE scheme actual runs to compress)."""
     depth = np.asarray(depth, dtype=np.float32).copy()
     depth[~np.isfinite(depth)] = 65504.0
+    if dtype == np.float16:
+        # finite values at/past the half max would overflow to inf (or hit
+        # the 65504 background sentinel) and read back as background 0 —
+        # clip to the largest half BELOW the sentinel so foreground depth
+        # stays foreground
+        finite = np.isfinite(depth) & (depth != 65504.0)
+        depth[finite] = np.minimum(depth[finite], 65472.0)
     write_exr(path, {"R": depth.astype(dtype)}, compression=compression)

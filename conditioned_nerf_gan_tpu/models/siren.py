@@ -202,7 +202,9 @@ class ConditionedSiren(nn.Module):
                 mapping = PointFeaturesMappingNetwork(
                     hidden_dim=256, output_dim=out_dim, name="mapping_network"
                 )
-                src = sample_volume_features(points, feature_volume)
+                # pyramid-encoder composition, like the input-path branches
+                # above (degrades to a plain volume lookup for one volume)
+                src = sample_pyramid_features(points, feature_volume)
             elif spec.mapping == "selectable":
                 mapping = _MAPPINGS[self.mapping_network](
                     hidden_dim=256, output_dim=out_dim, name="mapping_network"

@@ -17,8 +17,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
@@ -47,83 +45,40 @@ def main():
                          "ray-chunk remat instead of replaying the evals")
     args = ap.parse_args()
 
-    from conditioned_nerf_gan_tpu.config import extract_metadata, load_curriculum
-    from conditioned_nerf_gan_tpu.config.presets import resolve_siren_alias
-    from conditioned_nerf_gan_tpu.models import (
-        ImplicitGenerator3d, ResnetPointnet, make_discriminator, make_unet,
-    )
-    from conditioned_nerf_gan_tpu.training import (
-        TrainStepConfig, create_train_state, make_train_step,
-    )
+    from conditioned_nerf_gan_tpu.training import create_train_state, make_train_step
+    from conditioned_nerf_gan_tpu.utils.bench_setup import build_stage_bench
 
-    cur = load_curriculum(config_base="thousand", config=args.config)
-    stage_steps = sorted(k for k in cur if isinstance(k, int))
-    step_at = stage_steps[args.stage]
-    meta = extract_metadata(cur, step_at)
-    # mirror the trainer's static density-noise gate (schedule hits 0 at
-    # step 5000, so stages 1+ skip the threefry + x0 multiply)
-    from conditioned_nerf_gan_tpu.training.schedules import nerf_noise_schedule
-    density_noise = float(nerf_noise_schedule(step_at)) > 0.0
+    meta_overrides = {}
     if args.fp32:
-        meta["compute_dtype"] = None
+        meta_overrides["compute_dtype"] = None
     if args.no_disc:
-        meta["enable_discriminator"] = False
+        meta_overrides["enable_discriminator"] = False
     if args.no_hier:
-        meta["hierarchical_sample"] = False
+        meta_overrides["hierarchical_sample"] = False
     if args.no_photo:
-        meta["photo_loss"] = False
+        meta_overrides["photo_loss"] = False
     if args.split is not None:
-        meta["batch_split"] = args.split
+        meta_overrides["batch_split"] = args.split
     if args.chunks is not None:
-        meta["ray_chunks"] = args.chunks
+        meta_overrides["ray_chunks"] = args.chunks
     if args.batch is not None:
-        meta["batch_size"] = args.batch
+        meta_overrides["batch_size"] = args.batch
+    force_pallas = None
+    if args.pallas:
+        force_pallas = True
+    if args.no_pallas:
+        force_pallas = False
 
+    gen, enc, disc, cfg, batch, meta = build_stage_bench(
+        stage=args.stage, config=args.config, pcl_points=args.pcl_points,
+        meta_overrides=meta_overrides, force_pallas=force_pallas,
+        save_siren_outputs=args.save_outputs,
+    )
     dtype_name = meta.get("compute_dtype")
-    compute_dtype = jnp.dtype(dtype_name) if dtype_name else None
-    gen_meta = meta["generator"]
-    gen = ImplicitGenerator3d(
-        siren_type=resolve_siren_alias(gen_meta["siren_type"]),
-        z_dim=gen_meta["z_dim"],
-        input_dim=gen_meta.get("input_dim", 3),
-        output_dim=gen_meta.get("output_dim", 4),
-        hidden_dim=gen_meta.get("hidden_dim", 256),
-        compute_dtype=compute_dtype,
-        use_fast_sin=meta.get("use_fast_sin", False),
-        use_pallas=(args.pallas or meta.get("use_pallas", False))
-        and not args.no_pallas,
-    )
-    load_voxel = meta["dataset"].get("load_voxel", False)
-    if load_voxel:
-        enc = make_unet(dtype=compute_dtype, **meta["unet"])
-    else:
-        enc = ResnetPointnet(c_dim=gen_meta["z_dim"], dtype=compute_dtype)
-    disc = (make_discriminator(meta["discriminator"], dtype=compute_dtype)
-            if meta["enable_discriminator"] else None)
-    import dataclasses
-    cfg = TrainStepConfig.from_metadata(meta)
-    cfg = dataclasses.replace(
-        cfg, render=dataclasses.replace(
-            cfg.render, density_noise=density_noise,
-            save_siren_outputs=args.save_outputs or cfg.render.save_siren_outputs,
-        )
-    )
-
     B = meta["batch_size"]
     img = meta["img_size"]
-    n_pts = max(1, int(args.pcl_points * meta.get("num_points_ratio", 1.0)))
-    rng = np.random.default_rng(0)
-    batch = {
-        "img": rng.uniform(-1, 1, (B, img, img, 3)).astype(np.float32),
-        "cam2world": np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy(),
-    }
-    if load_voxel:
-        vres = meta.get("voxel_resolution", 64)
-        batch["voxel"] = rng.uniform(0, 1, (B, vres, vres, vres, 4)).astype(np.float32)
-        cond_desc = f"voxel {vres}^3"
-    else:
-        batch["pcl"] = rng.uniform(-0.4, 0.4, (B, n_pts, 6)).astype(np.float32)
-        cond_desc = f"pcl {n_pts}"
+    cond_desc = (f"voxel {meta.get('voxel_resolution', 64)}^3"
+                 if "voxel" in batch else f"pcl {batch['pcl'].shape[1]}")
     print(f"stage {args.stage}: img {img}, batch {B} (split {cfg.batch_split}, "
           f"ray_chunks {cfg.render.ray_chunks}), num_steps {cfg.render.num_steps}, "
           f"{cond_desc}, dtype {dtype_name or 'float32'}")

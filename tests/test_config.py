@@ -205,3 +205,29 @@ def test_every_curriculum_key_documented():
     # keep their docs in sync too (a renamed field would show above)
     tsc_fields = {f.name for f in dataclasses.fields(TrainStepConfig)}
     assert "render" in tsc_fields  # sanity: the dataclass shape is intact
+
+
+def test_build_stage_bench_families():
+    """The shared bench workload builder (bench.py + scripts/bench_train_step)
+    resolves siren aliases and picks voxel-vs-pcl conditioning per preset
+    (r4 review: bench.py's private copy silently lacked both)."""
+    from conditioned_nerf_gan_tpu.utils.bench_setup import build_stage_bench
+
+    gen, enc, disc, cfg, batch, meta = build_stage_bench(stage=0)
+    assert "pcl" in batch and disc is not None
+    assert type(enc).__name__ == "ResnetPointnet"
+    assert batch["img"].shape[0] == meta["batch_size"]
+
+    gen, enc, disc, cfg, batch, meta = build_stage_bench(
+        stage=1, config="dg_shortsiren_dis")
+    assert "voxel" in batch and "pcl" not in batch
+    assert gen.siren_type == "SHORTSIREN_FG"  # stale reference name resolved
+    vres = meta.get("voxel_resolution", 64)
+    assert batch["voxel"].shape[1:] == (vres, vres, vres, 4)
+
+    # override + pallas-force knobs used by the ablation CLI
+    g2, _, d2, cfg2, _, m2 = build_stage_bench(
+        stage=0, meta_overrides={"enable_discriminator": False,
+                                 "batch_size": 2},
+        force_pallas=False)
+    assert d2 is None and m2["batch_size"] == 2 and not g2.use_pallas

@@ -286,3 +286,21 @@ def test_dataloader_worker_error_raises_instead_of_hanging(dataset_root):
     with pytest.raises(RuntimeError, match="DataLoader worker failed") as exc:
         next(iter(dl))
     assert isinstance(exc.value.__cause__, OSError)
+
+
+def test_write_exr_depth_overflow_clips_to_foreground(tmp_path):
+    """Finite depth beyond the float16 max must stay FOREGROUND: naive
+    half-casting overflows to inf (or collides with the 65504 background
+    sentinel) and reads back as background 0 (r4 review finding)."""
+    from conditioned_nerf_gan_tpu.data.exr import read_exr_depth, write_exr_depth
+
+    depth = np.full((8, 8), np.inf, np.float32)     # background
+    depth[2, 2] = 1.0                                # ordinary foreground
+    depth[3, 3] = 70000.0                            # > half max 65504
+    path = tmp_path / "far.exr"
+    write_exr_depth(path, depth)
+    back = read_exr_depth(path, img_size=8)
+    assert back[2, 2] == pytest.approx(1.0, rel=1e-3)
+    assert back[3, 3] > 0, "finite far depth became background"
+    assert back[3, 3] == pytest.approx(65472.0)      # largest half < sentinel
+    assert back[0, 0] == 0.0                         # background stays 0

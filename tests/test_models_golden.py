@@ -1,5 +1,6 @@
 """Golden tests: Flax models vs the PyTorch reference with ported weights."""
 
+import hashlib
 import re
 from unittest import mock
 
@@ -10,6 +11,11 @@ import jax
 import jax.numpy as jnp
 
 from conftest import requires_reference
+
+
+def stable_seed(name: str) -> int:
+    """Deterministic per-name RNG seed (hash() is salted per process)."""
+    return int.from_bytes(hashlib.sha256(name.encode()).digest()[:4], "little")
 
 from conditioned_nerf_gan_tpu.models import (
     ImplicitGenerator3d,
@@ -415,7 +421,7 @@ def _variant_inputs(siren_type, B=1, N=16, C=8):
     """Random (points, z) matching a registry variant's conditioning shape."""
     from conditioned_nerf_gan_tpu.models.siren import SIREN_SPECS
 
-    rng = np.random.default_rng(hash(siren_type) % 2**31)
+    rng = np.random.default_rng(stable_seed(siren_type))
     pts = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32) * 0.3)
     vol = jnp.asarray(rng.normal(size=(B, 4, 4, 4, C)).astype(np.float32))
     glob = jnp.asarray(rng.normal(size=(B, C)).astype(np.float32))
@@ -448,6 +454,29 @@ def test_siren_variants_execute(siren_type):
     out = jax.jit(lambda p: model.apply(p, pts, z))(variables)
     assert out.shape == (B, N, 4)
     assert bool(jnp.all(jnp.isfinite(out))), f"{siren_type} produced non-finite output"
+
+
+def test_pointfeat_variant_composes_with_pyramid_encoder():
+    """pointfeat-mapping variants (TALLSIREN: FiLM source = sampled features)
+    must accept a PyramidUNet3D feature LIST like the input-path branches do
+    (r4 review: sample_volume_features crashed on a pyramid at trace time)."""
+    from conditioned_nerf_gan_tpu.models import make_siren
+
+    B, N, C = 1, 16, 8
+    rng = np.random.default_rng(stable_seed("TALLSIREN_pyramid"))
+    pts = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32) * 0.3)
+    lvl0 = jnp.asarray(rng.normal(size=(B, 4, 4, 4, C)).astype(np.float32))
+    lvl1 = jnp.asarray(rng.normal(size=(B, 2, 2, 2, C)).astype(np.float32))
+    model = make_siren("TALLSIREN", z_dim=C, hidden_dim=32)
+    variables = jax.jit(lambda k: model.init(k, pts, [lvl0, lvl1]))(
+        jax.random.PRNGKey(0))
+    out = jax.jit(lambda p, z: model.apply(p, pts, z))(variables, [lvl0, lvl1])
+    assert out.shape == (B, N, 4)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # degrades to the plain single-volume lookup for a non-list input
+    single = jax.jit(lambda k: model.init(k, pts, lvl0))(jax.random.PRNGKey(0))
+    out1 = jax.jit(lambda p, z: model.apply(p, pts, z))(single, lvl0)
+    assert bool(jnp.all(jnp.isfinite(out1)))
 
 
 def test_film_frequency_folding_matches_reference_formulation():
@@ -541,7 +570,7 @@ def test_discriminator_registry_executes(name):
     with finite logits (torch-parity is covered by the golden tests; this
     guards the registry wiring even when the reference isn't mounted)."""
     model = make_discriminator(name)
-    rng = np.random.default_rng(hash(name) % 2**31)
+    rng = np.random.default_rng(stable_seed(name))
     img = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
     cond = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
     kwargs = {"cond": cond} if ("inputCat" in name or "projection" in name) else {}

@@ -16,6 +16,7 @@ from conftest import requires_reference
 from conditioned_nerf_gan_tpu.models import make_discriminator, make_siren
 from test_models_golden import (
     assert_close,
+    stable_seed,
     port_film_stack,
     t2j,
     t2j_conv2d,
@@ -60,7 +61,7 @@ def _make_inputs(seed, B=2, n_pts=48, C=16, z_dim=32, grid=6):
 def test_fg_family_matches(reference_path, name, n_layers):
     """Linear-mapping FG variants vs torch (reference siren.py:491-1170)."""
     tsiren = _tsiren(reference_path)
-    torch.manual_seed(hash(name) % 2**31)
+    torch.manual_seed(stable_seed(name))
     C, z_dim, hidden = 16, 32, 64
     # _dgx concatenates xyz onto the sampled features (siren.py:1158)
     in_dim = C + 3 if name == "TALLSIREN_dgx" else C
@@ -142,7 +143,7 @@ def _port_mixed_stack(sd, layer_kinds):
 def test_direct_feature_stacks_match(reference_path, name, kinds):
     """No-FiLM direct-feature variants vs torch (siren.py:411-980)."""
     tsiren = _tsiren(reference_path)
-    torch.manual_seed(hash(name) % 2**31)
+    torch.manual_seed(stable_seed(name))
     C, hidden = 16, 32
     kwargs = dict(input_dim=C, hidden_dim=hidden)
     if name == "TALLSIREN_dResLong":
