@@ -99,4 +99,12 @@ default = {
     # inert on CPU or under a fp32 override; multi-device meshes switch the
     # train step to the manual shard_map path (parallel/mesh.py).
     "use_pallas": True,
+    # scan 8 train steps into one dispatched program (training/train_step.py
+    # make_chained_step): each dispatch is a host<->device round trip, which
+    # dominates the small stages — stage-0 in-run A/B on v5e-1: 0.134 ->
+    # 0.098 s/step (1.37x), step-0 losses bit-identical, trajectories within
+    # bf16 reassociation. Windows auto-trim at milestones and
+    # print/sample/eval gates; partial windows fall back to the per-step
+    # program, so logging/checkpoint cadence is unchanged.
+    "steps_per_dispatch": 8,
 }

@@ -37,7 +37,8 @@ def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 
 def shard_batch(
-    batch: dict, mesh: Mesh, axis_name: str = "data", force_global: bool = False
+    batch: dict, mesh: Mesh, axis_name: str = "data",
+    force_global: bool = False, batch_axis: int = 0,
 ) -> dict:
     """Place a host batch with axis 0 sharded across the mesh.
 
@@ -50,8 +51,12 @@ def shard_batch(
     exercises the global-array assembly there too (used by the driver's
     dryrun so the multi-host path is compile-checked without multiple
     processes).
+
+    batch_axis selects which array axis is the batch: 0 (default) for a
+    plain batch, 1 for the steps_per_dispatch-stacked (k, B, ...) layout.
     """
-    sharding = data_sharding(mesh, axis_name)
+    spec = P(*([None] * batch_axis), axis_name)
+    sharding = NamedSharding(mesh, spec)
     if jax.process_count() > 1 or force_global:
         out = {}
         n_proc = jax.process_count()
@@ -59,9 +64,10 @@ def shard_batch(
             if isinstance(v, list):
                 continue
             local = np.asarray(v)
-            global_shape = (local.shape[0] * n_proc,) + local.shape[1:]
+            global_shape = list(local.shape)
+            global_shape[batch_axis] *= n_proc
             out[k] = jax.make_array_from_process_local_data(
-                sharding, local, global_shape
+                sharding, local, tuple(global_shape)
             )
         return out
     return {
@@ -94,7 +100,7 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def compile_train_step(train_step, mesh: Mesh, axis_name: str = "data",
-                       manual: bool = False):
+                       manual: bool = False, stacked: bool = False):
     """jit the train step with batch sharded on `axis_name`, state replicated.
 
     Default (GSPMD): gradients reduce over ICI via the psum XLA inserts for
@@ -109,12 +115,17 @@ def compile_train_step(train_step, mesh: Mesh, axis_name: str = "data",
     a shard_map") — so any train step that routes the fused FiLM-SIREN
     kernel on a >1-device mesh must take this path. The per-device batch
     is `global_batch / mesh_size` (must divide).
+
+    stacked=True compiles a `make_chained_step` program instead: the batch
+    arrays carry a leading steps_per_dispatch axis, so the data axis is
+    array axis 1 (alpha/noise become replicated (k,) arrays).
     """
+    batch_spec = P(None, axis_name) if stacked else P(axis_name)
     if manual:
         sharded = jax.shard_map(
             train_step,
             mesh=mesh,
-            in_specs=(P(), P(axis_name), P(), P(), P()),
+            in_specs=(P(), batch_spec, P(), P(), P()),
             out_specs=(P(), P()),
             # grads/metrics are pmean'ed inside the step and params enter
             # replicated, so outputs are replicated by construction; the
@@ -123,7 +134,7 @@ def compile_train_step(train_step, mesh: Mesh, axis_name: str = "data",
         )
         return jax.jit(sharded, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
-    batch_sh = NamedSharding(mesh, P(axis_name))
+    batch_sh = NamedSharding(mesh, batch_spec)
     return jax.jit(
         train_step,
         in_shardings=(repl, batch_sh, repl, repl, repl),

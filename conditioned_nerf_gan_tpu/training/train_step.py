@@ -458,3 +458,38 @@ def make_train_step(
         return state, metrics
 
     return train_step
+
+
+def make_chained_step(train_step):
+    """Scan `steps_per_dispatch` train steps into ONE dispatched program.
+
+    Semantically identical to calling `train_step` sequentially: the
+    per-step rng is `fold_in(rng, state.step)` INSIDE the step and
+    `state.step` advances through the scan carry, and alpha / nerf_noise
+    arrive as per-step (k,) host-computed arrays (the same fp32 values the
+    unchained loop passes). Exact-equality caveat: XLA fuses the scan body
+    differently than the standalone step program, so results agree with the
+    per-step loop only to float reassociation tolerance (measured: 1 ulp on
+    the step-0 losses); the chained program ITSELF is deterministic, and a
+    resumed run re-enters the same window pattern (windows restart at the
+    checkpoint gates), so chained training keeps bit-exact resume.
+
+    Why: the reference dispatches one step at a time (train.py:101-105);
+    each dispatch costs a host↔device round trip, which dominates the small
+    curriculum stages (stage 0 measures 0.21 s/step in-run vs 0.106 s/step
+    for the identical math chained on-device). Chaining k steps amortizes
+    that round trip k× while host-side batch loading overlaps the chain.
+
+    chained(state, batches, rng, alphas, noises) -> (state, stacked_metrics)
+    where every array in `batches` carries a leading (k,) axis (batch axis
+    moves to axis 1) and metrics come back stacked (k,) per key.
+    """
+
+    def chained(state, batches, rng, alphas, noises):
+        def body(st, xs):
+            batch, alpha, noise = xs
+            return train_step(st, batch, rng, alpha, noise)
+
+        return jax.lax.scan(body, state, (batches, alphas, noises))
+
+    return chained

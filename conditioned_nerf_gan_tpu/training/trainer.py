@@ -56,7 +56,12 @@ from ..parallel import (
 from ..utils import save_image_grid
 from .checkpoints import find_newest_checkpoint, restore_checkpoint, save_checkpoint
 from .schedules import fade_alpha, nerf_noise_schedule
-from .train_step import TrainStepConfig, create_train_state, make_train_step
+from .train_step import (
+    TrainStepConfig,
+    create_train_state,
+    make_chained_step,
+    make_train_step,
+)
 
 HISTORY_KEYS = (
     "generator_losses",
@@ -106,6 +111,9 @@ class Trainer:
         # → transfer; the train loop queues metrics and keeps a small
         # in-flight window so the device pipeline stays busy back-to-back
         self._pending_metrics: collections.deque = collections.deque()
+        # lifetime count of chained (steps_per_dispatch) window dispatches —
+        # survives the per-stage executable invalidation in _rebuild_step_fn
+        self._chain_dispatches = 0
         self.step = 0
         self.epoch = 0
         # dataloader position (epoch being consumed + batches consumed in
@@ -381,6 +389,61 @@ class Trainer:
         # communicators (hard 30 s rendezvous) — align it at the first
         # invocation, where the real arguments are available.
         self._step_fn_needs_align = self.process_count > 1 and n_dev > 1
+        # steps_per_dispatch chaining: the compiled chain program is built
+        # lazily on the first full-length window (it reuses `step_fn`), and
+        # is invalidated here alongside the single-step program
+        self._chain_k = max(1, int(self.metadata.get("steps_per_dispatch", 1)
+                                   or 1))
+        self._chain_fn = None
+        self._chain_fn_needs_align = False
+        self._chain_step_fn = step_fn
+        self._chain_manual = manual
+
+    def _ensure_chain_fn(self):
+        """Compile the k-chained step on first use (one extra executable per
+        stage; partial windows fall back to the single-step program)."""
+        if self._chain_fn is None:
+            chained = make_chained_step(self._chain_step_fn)
+            if self.mesh.size > 1:
+                self._chain_fn = compile_train_step(
+                    chained, self.mesh, manual=self._chain_manual,
+                    stacked=True,
+                )
+            else:
+                self._chain_fn = jax.jit(chained, donate_argnums=(0,))
+            self._chain_fn_needs_align = self.process_count > 1 and (
+                self.mesh.size > 1
+            )
+        return self._chain_fn
+
+    def _chain_window(self) -> int:
+        """Longest step window [step, step+n) that is safe to dispatch as one
+        chained program: no curriculum milestone strictly inside, and no
+        freq-gated host action (stats print, sample grids, checkpoint+eval),
+        profiler hook, or --stop_step boundary before the window's last step.
+        """
+        n = self._chain_k
+        if n <= 1:
+            return 1
+        s = self.step
+        for m in sorted(k for k in self.curriculum if isinstance(k, int)):
+            if s < m < s + n:
+                n = m - s
+                break
+        for freq in (self.args.print_freq, self.args.sampling_interval,
+                     self.args.eval_freq):
+            if freq and freq > 0:
+                # first t >= s whose post-step gate (t+1) % freq == 0 fires
+                t = s + (freq - (s + 1) % freq) % freq
+                n = min(n, t - s + 1)
+        if getattr(self.args, "profile_dir", None):
+            for t in (10, 15):  # trace start/stop run before those steps
+                if s < t < s + n:
+                    n = t - s
+        stop = getattr(self.args, "stop_step", None)
+        if stop:
+            n = min(n, stop + 1 - s)
+        return max(1, n)
 
     def update_metadata(self) -> bool:
         """Refresh per-step hyperparameters; True if anything baked into the
@@ -406,6 +469,10 @@ class Trainer:
         changed = (
             self._data_changed
             or self._current_step_config(new_meta) != self.step_config
+            # a per-stage steps_per_dispatch change swaps the chained
+            # executable (its scan length is baked into the program)
+            or max(1, int(new_meta.get("steps_per_dispatch", 1) or 1))
+            != self._chain_k
         )
         self.metadata = new_meta
         return changed
@@ -512,11 +579,20 @@ class Trainer:
             self._batch_offset = pending_skip
             dataloader.start_batch = pending_skip
             pending_skip = 0
-            for batch in dataloader:
+            batches_iter = iter(dataloader)
+            while True:
+                try:
+                    batch = next(batches_iter)
+                except StopIteration:
+                    break
                 if self.update_metadata():
                     if self._data_changed:
                         print(f"Metadata updated at step {self.step}. "
                               "Reload dataset.")
+                        # release the abandoned iterator's prefetch worker
+                        # (a named iterator outlives the break, unlike the
+                        # anonymous `for batch in dataloader` one)
+                        batches_iter.close()
                         dataloader = self._make_dataloader()
                         self._rebuild_step_fn()
                         restart_epoch = True
@@ -536,45 +612,73 @@ class Trainer:
                 if profile_dir and self.step == 15:
                     jax.profiler.stop_trace()
                     print(f"Wrote profiler trace to {profile_dir}")
-                t0 = time.time()
-                batch_dev = self._put_batch(batch)
-                if self._step_fn_needs_align:
-                    self._step_fn = compile_aligned(
-                        self._step_fn, self.state, batch_dev, rng,
+
+                # steps_per_dispatch > 1: pull a milestone-/host-action-free
+                # window and scan it on-device in ONE dispatch (each dispatch
+                # is a host↔device round trip; chaining amortizes it k×).
+                # A window the epoch can't fill falls back to the per-step
+                # program below, so only one extra executable exists per stage.
+                window = []
+                n = self._chain_window()
+                if n == self._chain_k and self._chain_k > 1:
+                    window = [batch]
+                    while len(window) < n:
+                        try:
+                            window.append(next(batches_iter))
+                        except StopIteration:
+                            break
+                if len(window) == self._chain_k and self._chain_k > 1:
+                    cont, steps_elapsed = self._run_chained_window(
+                        window, rng, steps_elapsed)
+                    if not cont:
+                        return
+                    continue
+
+                for j, b in enumerate(window or [batch]):
+                    # dry-epoch fallback: later window steps recompute their
+                    # schedules (no milestone sits inside the window, so
+                    # update_metadata needn't re-run)
+                    if j:
+                        self.set_alpha()
+                    t0 = time.time()
+                    batch_dev = self._put_batch(b)
+                    if self._step_fn_needs_align:
+                        self._step_fn = compile_aligned(
+                            self._step_fn, self.state, batch_dev, rng,
+                            np.float32(self.alpha), np.float32(self.nerf_noise),
+                        )
+                        self._step_fn_needs_align = False
+                    self.state, metrics = self._step_fn(
+                        self.state, batch_dev, rng,
                         np.float32(self.alpha), np.float32(self.nerf_noise),
                     )
-                    self._step_fn_needs_align = False
-                self.state, metrics = self._step_fn(
-                    self.state, batch_dev, rng,
-                    np.float32(self.alpha), np.float32(self.nerf_noise),
-                )
-                # don't sync here: queue the device metrics and let the next
-                # batch's host load + transfer overlap this step's compute.
-                # The recording flags are snapshotted NOW: a milestone can
-                # swap self.metadata before these metrics are flushed, and
-                # recording them under the new flags would drop or KeyError
-                # on losses the old stage did/didn't produce.
-                self._pending_metrics.append(
-                    (self.step, metrics, self._record_flags())
-                )
-                self._flush_metrics(keep=self._MAX_IN_FLIGHT)
-                self._batch_offset += 1
-                if self.is_main and (self.step + 1) % self.args.print_freq == 0:
-                    # drain inside the timed region so "Sec per step" counts
-                    # the device sync, not just the async dispatch
-                    self._flush_metrics()
-                steps_elapsed += time.time() - t0
+                    # don't sync here: queue the device metrics and let the next
+                    # batch's host load + transfer overlap this step's compute.
+                    # The recording flags are snapshotted NOW: a milestone can
+                    # swap self.metadata before these metrics are flushed, and
+                    # recording them under the new flags would drop or KeyError
+                    # on losses the old stage did/didn't produce.
+                    self._pending_metrics.append(
+                        (self.step, metrics, self._record_flags(), 1)
+                    )
+                    self._flush_metrics(keep=self._MAX_IN_FLIGHT)
+                    self._batch_offset += 1
+                    if self.is_main and (self.step + 1) % self.args.print_freq == 0:
+                        # drain inside the timed region so "Sec per step" counts
+                        # the device sync, not just the async dispatch
+                        self._flush_metrics()
+                    steps_elapsed += time.time() - t0
 
-                if self.print_stats(steps_elapsed) is not None:
-                    steps_elapsed = 0.0
-                self.sample_imgs()
-                self.save_models()
-                self.evaluate()
+                    if self.print_stats(steps_elapsed) is not None:
+                        steps_elapsed = 0.0
+                    self.sample_imgs()
+                    self.save_models()
+                    self.evaluate()
 
-                self.step += 1
-                if getattr(self.args, "stop_step", None) and self.step > self.args.stop_step:
-                    self._final_checkpoint()
-                    return
+                    self.step += 1
+                    if getattr(self.args, "stop_step", None) and self.step > self.args.stop_step:
+                        self._final_checkpoint()
+                        return
             if self.is_main and not restart_epoch:
                 dt = time.time() - epoch_start
                 print(f"{self.epoch}_th epoch runtime: {int(dt//60):02}:{int(dt%60):02}")
@@ -601,6 +705,79 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
+    def _put_batch_stacked(self, batches: list[dict]) -> dict:
+        """Place a steps_per_dispatch window as (k, B, ...) arrays, batch
+        axis sharded over the mesh (axis 1 — axis 0 is the scan axis)."""
+        stacked = {
+            k: np.stack([np.asarray(b[k]) for b in batches])
+            for k, v in batches[0].items() if not isinstance(v, list)
+        }
+        if len(self.mesh.devices.flat) > 1:
+            return shard_batch(stacked, self.mesh, batch_axis=1)
+        return {k: jnp.asarray(v) for k, v in stacked.items()}
+
+    def _run_chained_window(self, window: list[dict], rng,
+                            steps_elapsed: float) -> tuple[bool, float]:
+        """Dispatch a full steps_per_dispatch window as ONE scanned program,
+        then replay the per-step host bookkeeping (the window construction
+        guarantees only its last step can have an armed print/sample/eval
+        gate). Returns (keep_training, steps_elapsed).
+
+        Same math and rng draws as the per-step path: the step rng folds on
+        state.step inside the program, and the (k,) alpha / nerf-noise
+        arrays hold exactly the scalars the unchained loop would pass
+        (cross-program results differ only by XLA reassociation — see
+        make_chained_step).
+        """
+        k = len(window)
+        t0 = time.time()
+        last_up = last_upsample_step(self.curriculum, self.step)
+        fade = self.metadata["fade_steps"]
+        alphas = np.asarray(
+            [float(fade_alpha(self.step + i, last_up, fade)) for i in range(k)],
+            np.float32,
+        )
+        noises = np.asarray(
+            [float(nerf_noise_schedule(self.step + i)) for i in range(k)],
+            np.float32,
+        )
+        batch_dev = self._put_batch_stacked(window)
+        chain_fn = self._ensure_chain_fn()
+        if self._chain_fn_needs_align:
+            self._chain_fn = chain_fn = compile_aligned(
+                chain_fn, self.state, batch_dev, rng, alphas, noises
+            )
+            self._chain_fn_needs_align = False
+        self.state, metrics = chain_fn(self.state, batch_dev, rng, alphas,
+                                       noises)
+        self._chain_dispatches += 1
+        # one queue entry for the whole window; _flush_metrics fans the
+        # stacked (k,) metric arrays back out to per-step history entries
+        self._pending_metrics.append(
+            (self.step, metrics, self._record_flags(), k)
+        )
+        for i in range(k):
+            self.alpha = float(alphas[i])
+            self.nerf_noise = float(noises[i])
+            self._flush_metrics(keep=self._MAX_IN_FLIGHT)
+            self._batch_offset += 1
+            if self.is_main and (self.step + 1) % self.args.print_freq == 0:
+                self._flush_metrics()
+            if i == k - 1:
+                steps_elapsed += time.time() - t0
+                if self.print_stats(steps_elapsed) is not None:
+                    steps_elapsed = 0.0
+            self.sample_imgs()
+            self.save_models()
+            self.evaluate()
+            self.step += 1
+            if getattr(self.args, "stop_step", None) and (
+                self.step > self.args.stop_step
+            ):
+                self._final_checkpoint()
+                return False, steps_elapsed
+        return True, steps_elapsed
+
     # steps allowed in flight before the oldest metrics are forced to
     # materialize (each in-flight step pins its device batch; 4 bounds that
     # to a few tens of MB while keeping the dispatch pipeline full)
@@ -609,12 +786,20 @@ class Trainer:
     def _flush_metrics(self, keep: int = 0) -> None:
         """Materialize queued device metrics into histories, oldest first.
 
-        keep > 0 leaves that many steps in flight (the float() of an entry
-        blocks until its step has executed on the device)."""
+        keep > 0 leaves that many entries in flight (the float() of an entry
+        blocks until its step — or whole chained window — has executed on
+        the device)."""
         while len(self._pending_metrics) > keep:
-            step_i, m, flags = self._pending_metrics.popleft()
-            self._record({k: float(v) for k, v in m.items()}, step=step_i,
-                         flags=flags)
+            step_i, m, flags, n = self._pending_metrics.popleft()
+            if n == 1:
+                self._record({k: float(v) for k, v in m.items()}, step=step_i,
+                             flags=flags)
+                continue
+            # chained window: metrics are (n,)-stacked device arrays
+            host = {k: np.asarray(v) for k, v in m.items()}
+            for i in range(n):
+                self._record({k: float(v[i]) for k, v in host.items()},
+                             step=step_i + i, flags=flags)
 
     def _record_flags(self) -> dict:
         """The metadata flags _record consults, captured at enqueue time."""

@@ -518,3 +518,171 @@ def test_preset_family_steps(train_env, monkeypatch, config):
         assert trainer.histories["generator_losses"], config
     if meta.get("photo_loss"):
         assert trainer.histories["photometry_losses"], config
+
+
+def _curriculum_run(root, ds_root, name, curriculum_edit=None, **arg_overrides):
+    """Train the smoke config from an explicit curriculum JSON; returns the
+    Trainer after completion."""
+    import copy
+    import importlib
+
+    import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
+
+    importlib.reload(smoke)
+    from conditioned_nerf_gan_tpu.config import (
+        curriculum_to_json,
+        load_curriculum,
+    )
+    from conditioned_nerf_gan_tpu.training import Trainer
+
+    cur = copy.deepcopy(load_curriculum(config_base="smoke"))
+    if curriculum_edit:
+        curriculum_edit(cur)
+    path = root / f"{name}_curriculum.json"
+    curriculum_to_json(cur, path)
+    trainer = Trainer(_args(root / name, load_curriculum=str(path),
+                            **arg_overrides))
+    trainer.load_models()
+    trainer.train()
+    return trainer
+
+
+def _assert_same_training(a, b):
+    import jax
+
+    for pa, pb in zip(jax.tree.leaves((a.state.params_G, a.state.params_E,
+                                       a.state.params_D)),
+                      jax.tree.leaves((b.state.params_G, b.state.params_E,
+                                       b.state.params_D))):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    for key in ("photometry_losses", "generator_losses",
+                "discriminator_losses"):
+        np.testing.assert_array_equal(
+            np.asarray(a.histories[key], np.float64),
+            np.asarray(b.histories[key], np.float64),
+        )
+
+
+def test_steps_per_dispatch_numeric_parity(train_env, monkeypatch):
+    """steps_per_dispatch=4 (scan-chained dispatch) performs the same math
+    and rng draws as the per-step loop: step-0 losses match to float ulps
+    and the first full window tracks tightly. (Exact bit-equality across
+    the two XLA programs is not expected — the scan body fuses reductions
+    differently; the chained program's own determinism and resume are
+    pinned by the test below.)"""
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+
+    def spd(k):
+        def edit(cur):
+            cur["steps_per_dispatch"] = k
+            # 4 batches/epoch (9 train samples / batch 2) so full 4-windows
+            # exist; the module fixture's batch 4 would leave 2-batch epochs
+            cur[0] = dict(cur[0], batch_size=2)
+        return edit
+
+    base = _curriculum_run(root, ds_root, "spd1", spd(1),
+                           stop_step=7, sampling_interval=100)
+    chained = _curriculum_run(root, ds_root, "spd4", spd(4),
+                              stop_step=7, sampling_interval=100)
+    assert chained._chain_dispatches > 0, "chained program never dispatched"
+    assert base._chain_dispatches == 0
+    for key in ("photometry_losses", "generator_losses",
+                "discriminator_losses"):
+        h_a = np.asarray(base.histories[key], np.float64)
+        h_b = np.asarray(chained.histories[key], np.float64)
+        # per-step history granularity survives the stacked metrics
+        assert h_a.shape == h_b.shape == (8,), key
+        assert np.isfinite(h_b).all(), key
+        # a wrong batch order / schedule / rng would blow these up by
+        # orders of magnitude; reassociation drift measures ~1e-7 at step
+        # 0 and ~1e-3 by step 3 on this workload
+        np.testing.assert_allclose(h_b[0], h_a[0], rtol=1e-5, err_msg=key)
+        np.testing.assert_allclose(h_b[:4], h_a[:4], rtol=0.05, atol=0.02,
+                                   err_msg=key)
+
+
+def test_steps_per_dispatch_deterministic_resume(train_env, monkeypatch):
+    """The chained program is deterministic and resume-exact: restarting a
+    chained run from its checkpoint reproduces the uninterrupted chained
+    run BIT-exactly (windows re-align at the checkpoint gate, the loader
+    position replays, and both runs execute the same scanned executable)."""
+    import shutil
+
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+
+    def edit(cur):
+        cur["steps_per_dispatch"] = 4
+        cur[0] = dict(cur[0], batch_size=2)
+
+    # eval_freq=4: checkpoint gates at steps 3/7 — always window tails
+    a = _curriculum_run(root, ds_root, "chain_resume_a", edit,
+                        stop_step=7, sampling_interval=100, eval_freq=4)
+    assert (root / "chain_resume_a" / "checkpoints" / "3.ckpt").exists()
+
+    out_b = root / "chain_resume_b"
+    (out_b / "checkpoints").mkdir(parents=True)
+    for f in ("3.ckpt", "3.json"):
+        shutil.copy(root / "chain_resume_a" / "checkpoints" / f,
+                    out_b / "checkpoints" / f)
+    import copy
+    import importlib
+
+    import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
+
+    importlib.reload(smoke)
+    from conditioned_nerf_gan_tpu.config import (
+        curriculum_to_json,
+        load_curriculum,
+    )
+    from conditioned_nerf_gan_tpu.training import Trainer
+
+    cur = copy.deepcopy(load_curriculum(config_base="smoke"))
+    edit(cur)
+    curriculum_to_json(cur, out_b / "curriculum.json")
+    b = Trainer(_args(out_b, stop_step=7, sampling_interval=100, eval_freq=4))
+    b.load_models()
+    assert b.step == 4, "auto-resume should continue after the step-3 ckpt"
+    b.train()
+    assert b._chain_dispatches > 0, "resumed run never chained"
+    _assert_same_training(a, b)
+
+
+def test_steps_per_dispatch_trims_at_boundaries(train_env, monkeypatch):
+    """Windows trim at curriculum milestones, sampling gates, --stop_step,
+    and dry epochs — host artifacts land at exactly the same steps as the
+    unchained loop and the trajectories track."""
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+
+    def edit_with(k):
+        def edit(cur):
+            cur["steps_per_dispatch"] = k
+            cur[0] = dict(cur[0], batch_size=2)
+            # compile-affecting (num_steps), data-preserving milestone at
+            # step 5: the window starting at 4 must trim to a single step
+            # and the rebuilt stage gets a fresh chained executable
+            cur[5] = dict(cur[0], num_steps=cur[0]["num_steps"] + 4)
+        return edit
+
+    # sampling_interval=4 arms sample gates at steps 3/7 — step 3 is a
+    # chain-tail step, so the grid must be produced from mid-window state
+    base = _curriculum_run(root, ds_root, "trim1", edit_with(1),
+                           stop_step=9, sampling_interval=4)
+    chained = _curriculum_run(root, ds_root, "trim4", edit_with(4),
+                              stop_step=9, sampling_interval=4)
+    # exactly ONE chainable window exists: [0..3] (the step-5 milestone and
+    # the sampling/stop gates trim everything after it to sub-k windows, and
+    # the milestone rebuild discards the stage's chained executable)
+    assert chained._chain_dispatches == 1
+    for key in ("photometry_losses", "generator_losses",
+                "discriminator_losses"):
+        h_a = np.asarray(base.histories[key], np.float64)
+        h_b = np.asarray(chained.histories[key], np.float64)
+        assert h_a.shape == h_b.shape == (10,), key
+        assert np.isfinite(h_b).all(), key
+        np.testing.assert_allclose(h_b[0], h_a[0], rtol=1e-5, err_msg=key)
+    a = sorted(p.name for p in (root / "trim1" / "samples" / "valview").glob("*.png"))
+    b = sorted(p.name for p in (root / "trim4" / "samples" / "valview").glob("*.png"))
+    assert a == b and a, "sample grids must land at identical steps"
