@@ -310,12 +310,13 @@ def write_exr_depth(path: str | Path, depth: np.ndarray,
     i.e. the reference pipeline's depth passes were half-precision (and the
     constant background gives the RLE scheme actual runs to compress)."""
     depth = np.asarray(depth, dtype=np.float32).copy()
-    depth[~np.isfinite(depth)] = 65504.0
+    background = ~np.isfinite(depth)  # mask BEFORE sentinel overwrite, so a
+    # genuine finite depth of exactly 65504.0 is treated as foreground
+    depth[background] = 65504.0
     if dtype == np.float16:
         # finite values at/past the half max would overflow to inf (or hit
         # the 65504 background sentinel) and read back as background 0 —
         # clip to the largest half BELOW the sentinel so foreground depth
         # stays foreground
-        finite = np.isfinite(depth) & (depth != 65504.0)
-        depth[finite] = np.minimum(depth[finite], 65472.0)
+        depth[~background] = np.minimum(depth[~background], 65472.0)
     write_exr(path, {"R": depth.astype(dtype)}, compression=compression)

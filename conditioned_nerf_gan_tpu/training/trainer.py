@@ -391,9 +391,14 @@ class Trainer:
         self._step_fn_needs_align = self.process_count > 1 and n_dev > 1
         # steps_per_dispatch chaining: the compiled chain program is built
         # lazily on the first full-length window (it reuses `step_fn`), and
-        # is invalidated here alongside the single-step program
-        self._chain_k = max(1, int(self.metadata.get("steps_per_dispatch", 1)
-                                   or 1))
+        # is invalidated here alongside the single-step program.
+        # _chain_k_req is the curriculum's ask; _chain_k is the effective
+        # scan length after the HBM window-size clamp (applied once per
+        # stage on the first real batch, when its byte size is known).
+        self._chain_k_req = max(
+            1, int(self.metadata.get("steps_per_dispatch", 1) or 1))
+        self._chain_k = self._chain_k_req
+        self._chain_k_clamped = False
         self._chain_fn = None
         self._chain_fn_needs_align = False
         self._chain_step_fn = step_fn
@@ -415,6 +420,42 @@ class Trainer:
                 self.mesh.size > 1
             )
         return self._chain_fn
+
+    # Stacked-window input budget: a chained dispatch ships k whole batches
+    # to the device as one (k, B, ...) argument, and the async pipeline can
+    # hold the next window's transfer alongside it — so the guard caps the
+    # per-window bytes, not per-batch. Thousand-family batches are a few MB
+    # (images + subsampled pcl) and never clamp; the voxel families carry
+    # ~100 MB of fp32 volumes per batch at the dg stage-0 shape (batch 24,
+    # 64³×4ch) on a part with a documented 144 MB-margin OOM history, so
+    # spd 8 would stack ~805 MB — the clamp holds them to ~2 steps, where
+    # the dispatch round trip is already noise vs their 1.8 s/step compute.
+    # Per-run override: curriculum key `max_chain_window_bytes`.
+    _MAX_CHAIN_WINDOW_BYTES = 256 * 1024 * 1024
+
+    def _clamp_chain_k(self, batch: dict) -> None:
+        """Once per stage (first real batch), cap steps_per_dispatch so the
+        stacked window argument stays under the HBM input budget."""
+        self._chain_k_clamped = True
+        nbytes = sum(
+            np.asarray(v).nbytes for v in batch.values()
+            if not isinstance(v, list)
+        )
+        budget = int(
+            self.metadata.get("max_chain_window_bytes", 0)
+            or self._MAX_CHAIN_WINDOW_BYTES
+        )
+        cap = max(1, budget // max(1, nbytes))
+        if cap < self._chain_k:
+            if self.is_main:
+                print(
+                    f"steps_per_dispatch {self._chain_k} -> {cap}: window of "
+                    f"{self._chain_k} x {nbytes / 2**20:.0f} MB batches "
+                    f"exceeds the {budget / 2**20:.0f} MB chained-window "
+                    "input budget (max_chain_window_bytes)"
+                )
+            self._chain_k = cap
+            self._chain_fn = None
 
     def _chain_window(self) -> int:
         """Longest step window [step, step+n) that is safe to dispatch as one
@@ -470,9 +511,11 @@ class Trainer:
             self._data_changed
             or self._current_step_config(new_meta) != self.step_config
             # a per-stage steps_per_dispatch change swaps the chained
-            # executable (its scan length is baked into the program)
+            # executable (its scan length is baked into the program);
+            # compare against the REQUESTED k — the effective _chain_k may
+            # have been clamped by the HBM window-size guard
             or max(1, int(new_meta.get("steps_per_dispatch", 1) or 1))
-            != self._chain_k
+            != self._chain_k_req
         )
         self.metadata = new_meta
         return changed
@@ -619,6 +662,8 @@ class Trainer:
                 # A window the epoch can't fill falls back to the per-step
                 # program below, so only one extra executable exists per stage.
                 window = []
+                if self._chain_k > 1 and not self._chain_k_clamped:
+                    self._clamp_chain_k(batch)
                 n = self._chain_window()
                 if n == self._chain_k and self._chain_k > 1:
                     window = [batch]
@@ -778,18 +823,29 @@ class Trainer:
                 return False, steps_elapsed
         return True, steps_elapsed
 
-    # steps allowed in flight before the oldest metrics are forced to
-    # materialize (each in-flight step pins its device batch; 4 bounds that
-    # to a few tens of MB while keeping the dispatch pipeline full)
+    # STEPS allowed in flight before the oldest metrics are forced to
+    # materialize. Each in-flight entry pins its device input batches: one
+    # batch for a per-step entry, k batches for a chained window. Counting
+    # steps (not entries) bounds the pinned input HBM to ~4 batches on the
+    # per-step path and to ONE window on the chained path (a k>=4 window
+    # alone fills the allowance, so at most the newest window stays queued)
+    # while still overlapping the next window's host load with this one's
+    # device execution.
     _MAX_IN_FLIGHT = 4
 
     def _flush_metrics(self, keep: int = 0) -> None:
         """Materialize queued device metrics into histories, oldest first.
 
-        keep > 0 leaves that many entries in flight (the float() of an entry
-        blocks until its step — or whole chained window — has executed on
-        the device)."""
-        while len(self._pending_metrics) > keep:
+        keep > 0 leaves up to that many STEPS in flight — but always at
+        least the newest entry, so a chained window wider than `keep` still
+        pipelines (the float() of an entry blocks until its step — or whole
+        chained window — has executed on the device)."""
+        def _pending_steps() -> int:
+            return sum(e[3] for e in self._pending_metrics)
+
+        while len(self._pending_metrics) > (1 if keep else 0) and (
+            _pending_steps() > keep
+        ):
             step_i, m, flags, n = self._pending_metrics.popleft()
             if n == 1:
                 self._record({k: float(v) for k, v in m.items()}, step=step_i,

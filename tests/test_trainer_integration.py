@@ -686,3 +686,123 @@ def test_steps_per_dispatch_trims_at_boundaries(train_env, monkeypatch):
     a = sorted(p.name for p in (root / "trim1" / "samples" / "valview").glob("*.png"))
     b = sorted(p.name for p in (root / "trim4" / "samples" / "valview").glob("*.png"))
     assert a == b and a, "sample grids must land at identical steps"
+
+
+def test_steps_per_dispatch_window_byte_clamp(train_env, monkeypatch):
+    """The HBM window-size guard: a chained dispatch places k whole batches
+    on device as one stacked (k,B,...) argument, so _chain_k is clamped per
+    stage to keep that argument under `max_chain_window_bytes` (the voxel
+    families ship ~100 MB/batch of fp32 volumes — spd 8 would stack ~805 MB
+    on a part with a documented 144 MB-margin OOM history)."""
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+
+    # unit math on a real Trainer: cap = budget // batch_bytes, floor 1
+    def edit(cur):
+        cur["steps_per_dispatch"] = 8
+        cur[0] = dict(cur[0], batch_size=2)
+
+    import copy
+    import importlib
+
+    import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
+
+    importlib.reload(smoke)
+    from conditioned_nerf_gan_tpu.config import (
+        curriculum_to_json,
+        load_curriculum,
+    )
+    from conditioned_nerf_gan_tpu.training import Trainer
+
+    cur = copy.deepcopy(load_curriculum(config_base="smoke"))
+    edit(cur)
+    path = root / "clamp_curriculum.json"
+    curriculum_to_json(cur, path)
+    trainer = Trainer(_args(root / "clamp_unit", load_curriculum=str(path),
+                            stop_step=2))
+    trainer.load_models()
+    assert trainer._chain_k == trainer._chain_k_req == 8
+    batch = {"imgs": np.zeros((2, 64, 64, 3), np.float32)}  # 96 KiB
+    trainer.metadata = dict(trainer.metadata,
+                            max_chain_window_bytes=batch["imgs"].nbytes * 3)
+    trainer._clamp_chain_k(batch)
+    assert trainer._chain_k == 3, "cap should floor(budget / batch_bytes)"
+    assert trainer._chain_k_clamped and trainer._chain_fn is None
+    # the requested k is untouched — update_metadata compares against it,
+    # so the clamp must not read back as a per-step metadata change
+    assert trainer._chain_k_req == 8
+    assert not trainer.update_metadata()
+
+    # end-to-end: a 1-byte budget disables chaining entirely but training
+    # proceeds on the per-step fallback with full history granularity
+    def edit_tiny(cur):
+        edit(cur)
+        cur["max_chain_window_bytes"] = 1
+
+    t = _curriculum_run(root, ds_root, "clamp_run", edit_tiny,
+                        stop_step=7, sampling_interval=100)
+    assert t._chain_k == 1 and t._chain_dispatches == 0
+    assert len(t.histories["photometry_losses"]) == 8
+    assert all(np.isfinite(t.histories["photometry_losses"]))
+
+
+def test_flush_metrics_weighted_in_flight(train_env, monkeypatch):
+    """_flush_metrics counts STEPS in flight, not queue entries: a chained
+    window weighs k (it pins k device batches), so at most one window stays
+    queued — but the newest entry always survives so chaining still
+    pipelines."""
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+    import copy
+    import importlib
+
+    import conditioned_nerf_gan_tpu.config.presets.smoke as smoke
+
+    importlib.reload(smoke)
+    from conditioned_nerf_gan_tpu.config import (
+        curriculum_to_json,
+        load_curriculum,
+    )
+    from conditioned_nerf_gan_tpu.training import Trainer
+
+    cur = copy.deepcopy(load_curriculum(config_base="smoke"))
+    path = root / "flush_curriculum.json"
+    curriculum_to_json(cur, path)
+    trainer = Trainer(_args(root / "flush_unit", load_curriculum=str(path)))
+    flags = trainer._record_flags()
+
+    def entry(step, n):
+        m = {"photo_loss": np.full((n,), 0.5, np.float32) if n > 1
+             else np.float32(0.5),
+             "g_loss": np.full((n,), 0.25, np.float32) if n > 1
+             else np.float32(0.25),
+             "d_loss": np.full((n,), 0.1, np.float32) if n > 1
+             else np.float32(0.1)}
+        return (step, m, flags, n)
+
+    # per-step entries: keep=4 leaves exactly 4 steps in flight
+    trainer._pending_metrics.clear()
+    for s in range(6):
+        trainer._pending_metrics.append(entry(s, 1))
+    trainer._flush_metrics(keep=4)
+    assert len(trainer._pending_metrics) == 4
+    assert len(trainer.histories["photometry_losses"]) == 2
+
+    # one 8-step window exceeds keep=4 on its own, but the newest entry is
+    # never force-flushed — the window stays in flight
+    trainer._pending_metrics.clear()
+    trainer.histories["photometry_losses"].clear()
+    trainer._pending_metrics.append(entry(0, 8))
+    trainer._flush_metrics(keep=4)
+    assert len(trainer._pending_metrics) == 1, "newest window must pipeline"
+
+    # a second window forces the first to materialize (≤ ONE window queued)
+    trainer._pending_metrics.append(entry(8, 8))
+    trainer._flush_metrics(keep=4)
+    assert len(trainer._pending_metrics) == 1
+    assert len(trainer.histories["photometry_losses"]) == 8
+
+    # keep=0 drains everything (the stacked metrics fan out per step)
+    trainer._flush_metrics()
+    assert not trainer._pending_metrics
+    assert len(trainer.histories["photometry_losses"]) == 16
