@@ -111,7 +111,7 @@ def test_deferred_metrics_flushed_under_enqueue_flags(train_env, monkeypatch):
     # a pre-milestone step ran with the discriminator off → no g_loss key
     trainer.metadata["enable_discriminator"] = False
     trainer._pending_metrics.append(
-        (0, {"photo_loss": np.float32(0.5)}, trainer._record_flags())
+        (0, {"photo_loss": np.float32(0.5)}, trainer._record_flags(), 1)
     )
     # the milestone turns it on before the deferred flush
     trainer.metadata["enable_discriminator"] = True
