@@ -399,6 +399,7 @@ class Trainer:
             1, int(self.metadata.get("steps_per_dispatch", 1) or 1))
         self._chain_k = self._chain_k_req
         self._chain_k_clamped = False
+        self._chain_epoch_warned = False
         self._chain_fn = None
         self._chain_fn_needs_align = False
         self._chain_step_fn = step_fn
@@ -671,6 +672,20 @@ class Trainer:
                         try:
                             window.append(next(batches_iter))
                         except StopIteration:
+                            # windows cannot span epochs: a dataset with
+                            # fewer batches per epoch than steps_per_dispatch
+                            # silently degrades to per-step dispatch — say so
+                            # once, it's a real per-step round-trip cost
+                            if self.is_main and not self._chain_epoch_warned:
+                                self._chain_epoch_warned = True
+                                print(
+                                    f"steps_per_dispatch {self._chain_k} idle"
+                                    f": the epoch ran out after {len(window)}"
+                                    f" batch(es) mid-window — epochs need >= "
+                                    f"{self._chain_k} batches to chain "
+                                    "(tiny dataset? raise multifold or lower "
+                                    "steps_per_dispatch)"
+                                )
                             break
                 if len(window) == self._chain_k and self._chain_k > 1:
                     cont, steps_elapsed = self._run_chained_window(

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 
-def capture(stage: int, steps: int, out_dir: str) -> None:
+def capture(stage: int, steps: int, out_dir: str, spd: int = 1) -> None:
     from conditioned_nerf_gan_tpu.config import extract_metadata, load_curriculum
     from conditioned_nerf_gan_tpu.models import (
         ImplicitGenerator3d, ResnetPointnet, make_discriminator,
@@ -67,6 +67,29 @@ def capture(stage: int, steps: int, out_dir: str) -> None:
     key = jax.random.PRNGKey(0)
     state = jax.jit(lambda k, b: create_train_state(k, gen, enc, disc, b, cfg))(
         key, batch)
+    if spd > 1:
+        # chained-window variant (the shipped steps_per_dispatch path):
+        # trace the scanned program so per-op attribution covers the scan
+        # body XLA actually fuses, not the standalone step
+        from conditioned_nerf_gan_tpu.training.train_step import (
+            make_chained_step,
+        )
+
+        step_fn = jax.jit(make_chained_step(make_train_step(gen, enc, disc, cfg)))
+        batch = {k: np.broadcast_to(v, (spd,) + v.shape).copy()
+                 for k, v in batch.items()}
+        alphas = np.full((spd,), 0.5, np.float32)
+        noises = np.zeros((spd,), np.float32)
+        state, m = step_fn(state, batch, key, alphas, noises)
+        jax.block_until_ready(m)
+        jax.profiler.start_trace(out_dir)
+        for i in range(steps):
+            state, m = step_fn(state, batch, jax.random.fold_in(key, i),
+                               alphas, noises)
+        jax.block_until_ready(m)
+        jax.profiler.stop_trace()
+        return
+
     step_fn = jax.jit(make_train_step(gen, enc, disc, cfg))
     # warm up (compile outside the trace)
     state, m = step_fn(state, batch, key, jnp.float32(0.5), jnp.float32(0.0))
@@ -169,12 +192,17 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--trace_dir", type=str, default=None,
                     help="analyze an existing trace instead of capturing")
+    ap.add_argument("--spd", type=int, default=1,
+                    help=">1: profile the steps_per_dispatch chained "
+                         "program (one scanned dispatch of spd steps) "
+                         "instead of the standalone step")
     args = ap.parse_args()
     if args.trace_dir is None:
         args.trace_dir = tempfile.mkdtemp(prefix="stage2_trace_")
         print("capturing trace to", args.trace_dir)
-        capture(args.stage, args.steps, args.trace_dir)
-    analyze(args.trace_dir, args.steps, args.top)
+        capture(args.stage, args.steps, args.trace_dir, spd=args.spd)
+    # per-step normalization: a chained dispatch carries spd steps
+    analyze(args.trace_dir, args.steps * args.spd, args.top)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,12 @@ the artifact recorded in BASELINE.md.
 Serialize this with everything else on the chip (CLAUDE.md: concurrent
 tunnel jobs distort each other 20-40%).
 
+Sizing: chained windows cannot span epochs, so each stage needs
+floor(cars*(views-1)/batch_size) >= steps_per_dispatch batches per epoch
+or the chained path silently falls back per-step (the summary's
+chain_dispatches exposes this; ok=false when it never chained). The real
+dataset has 24 views/car — use --views 24 with enough cars.
+
 Usage:
   python scripts/regression_curriculum.py --out /tmp/reg_r5
       [--config dg_shortsiren_dis] [--steps_per_stage 10] [--cars 8]
@@ -52,6 +58,10 @@ def main():
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--spd", type=int, default=None,
                     help="override steps_per_dispatch (default: preset's)")
+    ap.add_argument("--prints_per_stage", type=int, default=1,
+                    help="2+: sub-stage stats prints, so the LAST print of "
+                         "each stage excludes its milestone recompile (the "
+                         "steady-state in-run number for BASELINE)")
     ap.add_argument("--no_eval", action="store_true",
                     help="skip the end-of-run Trainer.evaluate FID protocol")
     ap.add_argument("--seed", type=int, default=0)
@@ -96,9 +106,10 @@ def main():
 
     sps = args.steps_per_stage
     total = sps * len(stages)
+    pf = max(1, sps // max(1, args.prints_per_stage))
     t_args = types.SimpleNamespace(
         output_dir=str(out / "run"), load_dir="", load_curriculum=str(cur_path),
-        sampling_interval=2 * sps, print_freq=sps,
+        sampling_interval=2 * sps, print_freq=pf,
         eval_freq=(total if not args.no_eval else 10 * total),
         n_epochs=10_000, stop_step=total - 1, config=args.config,
         config_base=args.config_base, seed=args.seed,
@@ -115,7 +126,7 @@ def main():
             stage_secs.append(
                 {"step": trainer.step, "img": trainer.metadata["img_size"],
                  "batch": trainer.metadata["batch_size"],
-                 "sec_per_step": round(steps_elapsed / sps, 4)}
+                 "sec_per_step": round(steps_elapsed / pf, 4)}
             )
         return r
 

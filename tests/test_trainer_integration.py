@@ -746,6 +746,29 @@ def test_steps_per_dispatch_window_byte_clamp(train_env, monkeypatch):
     assert all(np.isfinite(t.histories["photometry_losses"]))
 
 
+def test_steps_per_dispatch_epoch_starvation_warns(train_env, monkeypatch):
+    """Windows cannot span epochs: with fewer batches/epoch than
+    steps_per_dispatch the trainer degrades to per-step dispatch — it must
+    say so once (a silent fallback hides a real per-step round-trip cost;
+    found when the r5 TPU regression ran 40 steps with zero chained windows
+    on a 2-batch-epoch synthetic set)."""
+    root, ds_root = train_env
+    monkeypatch.setenv("CNG_DATASET_PATH", str(ds_root))
+
+    def edit(cur):
+        # 9 train samples / batch 2 = 4 batches/epoch < k=8
+        cur["steps_per_dispatch"] = 8
+        cur[0] = dict(cur[0], batch_size=2)
+
+    # no gate inside [0..7]: the fill loop itself must hit the epoch end
+    t = _curriculum_run(root, ds_root, "starved", edit,
+                        stop_step=8, sampling_interval=100)
+    assert t._chain_dispatches == 0
+    assert t._chain_epoch_warned, "per-step fallback must be announced"
+    assert len(t.histories["photometry_losses"]) == 9
+    assert all(np.isfinite(t.histories["photometry_losses"]))
+
+
 def test_flush_metrics_weighted_in_flight(train_env, monkeypatch):
     """_flush_metrics counts STEPS in flight, not queue entries: a chained
     window weighs k (it pins k device batches), so at most one window stays
