@@ -141,6 +141,7 @@ CURRICULUM_KEY_DOCS: dict[str, str] = {
     "ray_chunks": "[TPU] rematerialized ray-chunked rendering: >1 splits img_size² rays into chunks, trading recompute for HBM (the reference's batch_split analogue on the ray axis)",
     "steps_per_dispatch": "[TPU] scan k train steps into one dispatched program (amortizes the per-dispatch host↔device round trip k×; identical math/rng draws — float-reassociation-level drift vs the per-step program only — windows auto-trim at curriculum milestones and print/sample/eval boundaries; per-stage overridable, default 1)",
     "max_chain_window_bytes": "[TPU] HBM input budget for one chained (steps_per_dispatch) window: k is clamped per stage so the stacked (k,B,...) batch argument stays under this many bytes (default 256 MiB — never binds on the few-MB thousand batches, holds the ~100 MB/batch voxel families to ~2 chained steps)",
+    "multifold": "[TPU] override the train-list replication factor (reference datasets.py:239-241 hardcodes x3000 for the twenty/single subsets, x1 otherwise); chained steps_per_dispatch windows cannot span epochs, so small custom datasets need epochs of >= k batches to chain — raise this instead of lowering k",
     "density_noise": "[TPU] static gate for the density-noise rng; the trainer clears it per stage once the noise schedule hits 0 so late stages skip dead threefry work",
     "save_siren_outputs": "[TPU] save SIREN eval outputs across the ray-chunk remat instead of replaying the kernels in the backward (measured neutral; tested dead lever)",
     "grad_accum_scale": "[TPU] effective-gradient scale: grad = grad_accum_scale × full-batch mean (default batch_split, the reference's sum-of-split-means semantics) — lets presets retune batch_split without changing dynamics",

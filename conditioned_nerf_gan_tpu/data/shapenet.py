@@ -416,7 +416,13 @@ def get_dataloader(
 ) -> DataLoader:
     """Build the train loader from curriculum metadata (datasets.py:237-302)."""
     trainset = metadata["dataset"]["trainset"]
-    multifold = 3000 if trainset in ("twenty", "single") else 1
+    # reference hardcodes x3000 for its tiny subsets (datasets.py:239-241);
+    # the curriculum key overrides it so small custom datasets can still
+    # fill steps_per_dispatch windows (epochs must carry >= k batches)
+    multifold = int(
+        metadata.get("multifold")
+        or (3000 if trainset in ("twenty", "single") else 1)
+    )
     dataset = ShapeNetDataset(
         metadata["dataset"]["path"],
         metadata["img_size"],

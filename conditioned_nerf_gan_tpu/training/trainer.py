@@ -294,7 +294,13 @@ class Trainer:
 
     def _stage_dataset(self) -> ShapeNetDataset:
         ds = self.metadata["dataset"]
-        multifold = 3000 if ds["trainset"] in ("twenty", "single") else 1
+        # curriculum `multifold` overrides the reference's hardcoded x3000
+        # tiny-subset replication (datasets.py:239-241) — small custom
+        # datasets need epochs of >= steps_per_dispatch batches to chain
+        multifold = int(
+            self.metadata.get("multifold")
+            or (3000 if ds["trainset"] in ("twenty", "single") else 1)
+        )
         return ShapeNetDataset(
             ds["path"], self.metadata["img_size"], ds["trainset"], self.metadata,
             ds["load_voxel"], ds["load_pcl"], shuffle=True, multifold=multifold,

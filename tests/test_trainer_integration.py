@@ -768,6 +768,19 @@ def test_steps_per_dispatch_epoch_starvation_warns(train_env, monkeypatch):
     assert len(t.histories["photometry_losses"]) == 9
     assert all(np.isfinite(t.histories["photometry_losses"]))
 
+    # the documented remedy: the `multifold` curriculum key replicates the
+    # train list (reference datasets.py:239-241 semantics made tunable), so
+    # the same dataset now carries 8-batch epochs and the window chains
+    def edit_folded(cur):
+        edit(cur)
+        cur["multifold"] = 2
+
+    t = _curriculum_run(root, ds_root, "starved_folded", edit_folded,
+                        stop_step=8, sampling_interval=100)
+    assert t._chain_dispatches >= 1, "multifold must re-enable chaining"
+    assert not t._chain_epoch_warned
+    assert all(np.isfinite(t.histories["photometry_losses"]))
+
 
 def test_flush_metrics_weighted_in_flight(train_env, monkeypatch):
     """_flush_metrics counts STEPS in flight, not queue entries: a chained
