@@ -214,6 +214,12 @@ def _fail_fast_if_tunnel_down() -> None:
 
 def main() -> None:
     _fail_fast_if_tunnel_down()
+    # hit the same persistent compile cache as the CLIs/tests — remote
+    # compiles of these programs cost ~5 min EACH through the tunnel, and
+    # compile time is outside the measurement (the warmup call absorbs it)
+    from conditioned_nerf_gan_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache()
     value = measure_tpu()
     # serialized AFTER the render measurement — concurrent tunnel jobs
     # distort each other 20-40% (CLAUDE.md perf notes)

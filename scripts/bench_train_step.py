@@ -46,7 +46,13 @@ def main():
     args = ap.parse_args()
 
     from conditioned_nerf_gan_tpu.training import create_train_state, make_train_step
+    from conditioned_nerf_gan_tpu.utils import setup_compile_cache
     from conditioned_nerf_gan_tpu.utils.bench_setup import build_stage_bench
+
+    # remote compiles cost ~5 min per program; compile time is outside the
+    # measurement (the warmup call absorbs it), so repeat A/B runs should
+    # hit the same persistent cache the CLIs/tests use
+    setup_compile_cache()
 
     meta_overrides = {}
     if args.fp32:
